@@ -1,0 +1,249 @@
+"""Segment (neighborhood) reductions — the framework's core primitive.
+
+These are the TPU-native equivalents of the reference's native dependencies
+``torch_scatter.scatter(..., reduce=...)`` and ``torch_sparse.matmul(adj_t,
+x, reduce=...)`` (reference ``experiments/layers.py:201-225``,
+``experiments/optimized_layers.py:215-278``). Semantics matched exactly:
+
+- empty segments produce **0** for every reduction (torch_scatter zero-
+  initializes its output);
+- ``min(x) = -max(-x)`` (reference ``experiments/layers.py:190-191``);
+- ``var = E[x^2] - E[x]^2`` via two mean-reductions, ``std =
+  sqrt(relu(var) + 1e-5)`` (reference ``experiments/layers.py:201-216``);
+- ``symnorm`` is a weighted sum with GCN symmetric-norm weights.
+
+TPU-first deviation: self-loops are **virtual**. Instead of growing the edge
+list (PyG ``add_remaining_self_loops``), the self contribution is folded
+analytically: e.g. mean-with-self = (sum_neighbors + x_i) / (deg_i + 1).
+Exactly equivalent for graphs without pre-existing self-loops, with static
+shapes and one less gather per edge.
+
+``multi_aggregate`` evaluates several aggregators in ONE pass over the edges
+(single gather, shared partial sums) — the paper's "aggregator fusion"
+(arXiv 2104.01481), which the reference deliberately does not implement
+(``experiments/layers.py:67-70``). A Pallas kernel path can be swapped in via
+``egc_tpu.ops.dispatch``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+# Canonical aggregator names. The reference uses two naming schemes
+# (`add/symadd` in layers.py vs `sum/symnorm` in optimized_layers.py:93);
+# we canonicalize to the upstreamed names with aliases.
+AGGREGATORS = ("sum", "mean", "max", "min", "var", "std", "symnorm")
+_ALIASES = {"add": "sum", "symadd": "symnorm"}
+
+
+def canonical_aggr(name: str) -> str:
+    name = _ALIASES.get(name, name)
+    if name not in AGGREGATORS:
+        raise ValueError(f"unknown aggregator {name!r}; supported: {AGGREGATORS}")
+    return name
+
+
+def _masked_ids(segment_ids, num_segments: int, mask):
+    """Map masked-out entries to an out-of-range id so XLA drops them."""
+    if mask is None:
+        return segment_ids
+    return jnp.where(mask, segment_ids, num_segments)
+
+
+def segment_sum(data, segment_ids, num_segments: int, *, mask=None,
+                indices_are_sorted: bool = False):
+    ids = _masked_ids(segment_ids, num_segments, mask)
+    return jax.ops.segment_sum(
+        data, ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted and mask is None,
+    )
+
+
+def segment_count(segment_ids, num_segments: int, *, mask=None,
+                  indices_are_sorted: bool = False, dtype=jnp.float32):
+    ones = jnp.ones(segment_ids.shape[:1], dtype=dtype)
+    return segment_sum(ones, segment_ids, num_segments, mask=mask,
+                       indices_are_sorted=indices_are_sorted)
+
+
+def segment_mean(data, segment_ids, num_segments: int, *, mask=None,
+                 indices_are_sorted: bool = False):
+    s = segment_sum(data, segment_ids, num_segments, mask=mask,
+                    indices_are_sorted=indices_are_sorted)
+    cnt = segment_count(segment_ids, num_segments, mask=mask,
+                        indices_are_sorted=indices_are_sorted, dtype=s.dtype)
+    cnt = jnp.maximum(cnt, 1.0)
+    return s / cnt.reshape(cnt.shape + (1,) * (s.ndim - 1))
+
+
+def segment_max(data, segment_ids, num_segments: int, *, mask=None,
+                indices_are_sorted: bool = False, empty_value=0.0):
+    ids = _masked_ids(segment_ids, num_segments, mask)
+    out = jax.ops.segment_max(
+        data, ids, num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted and mask is None,
+    )
+    cnt = segment_count(segment_ids, num_segments, mask=mask)
+    has = (cnt > 0).reshape(cnt.shape + (1,) * (out.ndim - 1))
+    return jnp.where(has, out, jnp.asarray(empty_value, out.dtype))
+
+
+def segment_min(data, segment_ids, num_segments: int, *, mask=None,
+                indices_are_sorted: bool = False, empty_value=0.0):
+    # min = -max(-x): parity with reference experiments/layers.py:190-191.
+    return -segment_max(-data, segment_ids, num_segments, mask=mask,
+                        indices_are_sorted=indices_are_sorted,
+                        empty_value=-empty_value)
+
+
+def segment_var(data, segment_ids, num_segments: int, *, mask=None,
+                indices_are_sorted: bool = False):
+    m = segment_mean(data, segment_ids, num_segments, mask=mask,
+                     indices_are_sorted=indices_are_sorted)
+    msq = segment_mean(data * data, segment_ids, num_segments, mask=mask,
+                       indices_are_sorted=indices_are_sorted)
+    return msq - m * m
+
+
+def segment_std(data, segment_ids, num_segments: int, *, mask=None,
+                indices_are_sorted: bool = False, eps: float = 1e-5):
+    v = segment_var(data, segment_ids, num_segments, mask=mask,
+                    indices_are_sorted=indices_are_sorted)
+    # sqrt(relu(var) + 1e-5): reference experiments/layers.py:214-216.
+    return jnp.sqrt(jax.nn.relu(v) + eps)
+
+
+def segment_softmax(logits, segment_ids, num_segments: int, *, mask=None,
+                    indices_are_sorted: bool = False):
+    """Numerically-stable softmax within each segment (per-receiver, for GAT).
+
+    Masked entries get probability 0; empty segments yield all-zero rows.
+    """
+    ids = _masked_ids(segment_ids, num_segments, mask)
+    neg_big = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
+    mx = jax.ops.segment_max(logits, ids, num_segments=num_segments,
+                             indices_are_sorted=indices_are_sorted and mask is None)
+    mx = jnp.where(jnp.isfinite(mx), mx, jnp.zeros_like(mx))
+    shifted = logits - mx[segment_ids]
+    ex = jnp.exp(shifted)
+    if mask is not None:
+        m = mask.reshape(mask.shape + (1,) * (ex.ndim - 1))
+        ex = jnp.where(m, ex, jnp.zeros_like(ex))
+    denom = jax.ops.segment_sum(ex, ids, num_segments=num_segments)
+    denom = jnp.maximum(denom, jnp.asarray(jnp.finfo(logits.dtype).tiny, logits.dtype))
+    del neg_big
+    return ex / denom[segment_ids]
+
+
+def multi_aggregate(
+    node_vals,                     # [N, F] values to aggregate (e.g. bases)
+    senders,                       # [E]
+    receivers,                     # [E]
+    aggrs: Sequence[str],
+    *,
+    edge_mask=None,                # [E] bool
+    include_self: bool = False,    # virtual self-loop for non-symnorm aggrs
+    symnorm_edge_w=None,           # [E] (required if 'symnorm' in aggrs)
+    symnorm_self_w=None,           # [N] (0s when symnorm has no self-loops)
+    indices_are_sorted: bool = False,
+    gathered=None,                 # optional precomputed node_vals[senders]
+):
+    """Fused multi-aggregator neighborhood reduction.
+
+    Returns ``[N, A, F]`` stacked in the order of ``aggrs`` — the shape
+    contract of the reference's ``EGConv.aggregate`` (reference
+    ``experiments/optimized_layers.py:215-249``).
+
+    ``include_self`` mirrors the two reference behaviors:
+      - paper layer (``experiments/layers.py``): self-loops ONLY inside
+        symnorm's gcn_norm ⇒ ``include_self=False`` + nonzero
+        ``symnorm_self_w``;
+      - upstreamed ``EGConv`` (``optimized_layers.py:158-175``): self-loops
+        for every aggregator ⇒ ``include_self=True``.
+    """
+    aggrs = [canonical_aggr(a) for a in aggrs]
+    num_segments = node_vals.shape[0]
+    if gathered is None:
+        gathered = jnp.take(node_vals, senders, axis=0)
+
+    sorted_hint = indices_are_sorted and edge_mask is None
+    ids = _masked_ids(receivers, num_segments, edge_mask)
+
+    needs = set(aggrs)
+    # Shared partial results.
+    seg_sum = None
+    if needs & {"sum", "mean", "var", "std"}:
+        seg_sum = jax.ops.segment_sum(gathered, ids, num_segments=num_segments,
+                                      indices_are_sorted=sorted_hint)
+    counts = None
+    if needs & {"mean", "max", "min", "var", "std"}:
+        counts = segment_count(receivers, num_segments, mask=edge_mask,
+                               indices_are_sorted=indices_are_sorted,
+                               dtype=node_vals.dtype)
+    seg_sumsq = None
+    if needs & {"var", "std"}:
+        seg_sumsq = jax.ops.segment_sum(gathered * gathered, ids,
+                                        num_segments=num_segments,
+                                        indices_are_sorted=sorted_hint)
+
+    def _mean_pair():
+        # (mean, mean_of_squares) with optional virtual self-loop.
+        if include_self:
+            denom = jnp.maximum(counts + 1.0, 1.0)[:, None]
+            m = (seg_sum + node_vals) / denom
+            msq = (seg_sumsq + node_vals * node_vals) / denom
+        else:
+            denom = jnp.maximum(counts, 1.0)[:, None]
+            m = seg_sum / denom
+            msq = seg_sumsq / denom
+        return m, msq
+
+    outs = []
+    for a in aggrs:
+        if a == "sum":
+            out = seg_sum + node_vals if include_self else seg_sum
+        elif a == "mean":
+            if include_self:
+                out = (seg_sum + node_vals) / jnp.maximum(counts + 1.0, 1.0)[:, None]
+            else:
+                out = seg_sum / jnp.maximum(counts, 1.0)[:, None]
+        elif a == "max":
+            mx = jax.ops.segment_max(gathered, ids, num_segments=num_segments,
+                                     indices_are_sorted=sorted_hint)
+            if include_self:
+                out = jnp.maximum(jnp.where((counts > 0)[:, None], mx, node_vals),
+                                  node_vals)
+            else:
+                out = jnp.where((counts > 0)[:, None], mx,
+                                jnp.zeros_like(node_vals))
+        elif a == "min":
+            mn = -jax.ops.segment_max(-gathered, ids, num_segments=num_segments,
+                                      indices_are_sorted=sorted_hint)
+            if include_self:
+                out = jnp.minimum(jnp.where((counts > 0)[:, None], mn, node_vals),
+                                  node_vals)
+            else:
+                out = jnp.where((counts > 0)[:, None], mn,
+                                jnp.zeros_like(node_vals))
+        elif a in ("var", "std"):
+            m, msq = _mean_pair()
+            out = msq - m * m
+            if a == "std":
+                out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
+        elif a == "symnorm":
+            if symnorm_edge_w is None:
+                raise ValueError("symnorm aggregator requires symnorm_edge_w")
+            w = symnorm_edge_w[:, None].astype(gathered.dtype)
+            out = jax.ops.segment_sum(gathered * w, ids,
+                                      num_segments=num_segments,
+                                      indices_are_sorted=sorted_hint)
+            if symnorm_self_w is not None:
+                out = out + symnorm_self_w[:, None].astype(out.dtype) * node_vals
+        else:  # pragma: no cover
+            raise ValueError(a)
+        outs.append(out)
+
+    return jnp.stack(outs, axis=1)
