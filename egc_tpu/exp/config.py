@@ -1,0 +1,131 @@
+"""ExperimentConfig — the hook surface every task implements.
+
+Mirrors the reference's exptune ``ExperimentConfig`` contract (inferred API,
+SURVEY §2.2; reference call sites ``experiments/zinc/configs.py:93-186``)
+without Ray: data / model / optimizer / train / val / test / persist_trial /
+restore_trial / hyperparams / settings / trial_metric / stoppers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from egc_tpu.exp.hyperparams import HyperParam, default_hparams
+from egc_tpu.train.optim import (
+    PlateauState, plateau_init, plateau_update, make_optimizer, set_lr,
+)
+from egc_tpu.train.state import TrainState
+from egc_tpu.train.checkpoint import save_checkpoint, load_checkpoint
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentSettings:
+    name: str
+    final_repeats: int = 10
+    final_max_iterations: int = 200
+    checkpoint_at_end: bool = True
+    checkpoint_freq: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class Metric:
+    name: str
+    mode: str  # "min" | "max"
+
+
+@dataclasses.dataclass(frozen=True)
+class StopperSpec:
+    patience: int
+    max_iters: int
+
+
+class ExperimentConfig:
+    """Base class; subclasses implement the task-specific hooks."""
+
+    synthetic: bool = True   # no-egress environment default
+
+    # ---- experiment description -----------------------------------------
+    def settings(self) -> ExperimentSettings:
+        raise NotImplementedError
+
+    def trial_metric(self) -> Metric:
+        raise NotImplementedError
+
+    def stoppers(self) -> StopperSpec:
+        s = self.settings()
+        return StopperSpec(patience=20, max_iters=s.final_max_iterations)
+
+    def hyperparams(self) -> Dict[str, HyperParam]:
+        raise NotImplementedError
+
+    def default_hparams(self) -> Dict[str, Any]:
+        return default_hparams(self.hyperparams())
+
+    # ---- construction ----------------------------------------------------
+    def data(self, hparams: Dict[str, Any]):
+        raise NotImplementedError
+
+    def model(self, hparams: Dict[str, Any]):
+        raise NotImplementedError
+
+    def optimizer(self, hparams: Dict[str, Any]):
+        """torch Adam(lr, wd) parity (reference zinc/configs.py:128-129)."""
+        return make_optimizer(hparams["lr"], hparams.get("wd", 0.0))
+
+    def plateau(self, hparams) -> PlateauState:
+        metric = self.trial_metric()
+        return plateau_init(hparams["lr"], mode=metric.mode, factor=0.5,
+                            patience=10, min_lr=1e-5)
+
+    def init_state(self, model, hparams, data, seed: int) -> TrainState:
+        raise NotImplementedError
+
+    # ---- one iteration ---------------------------------------------------
+    def train(self, model, state, data, rng, iteration: int):
+        """-> (state, {"train_loss": ...})"""
+        raise NotImplementedError
+
+    def val(self, model, state, data) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def test(self, model, state, data) -> Dict[str, float]:
+        raise NotImplementedError
+
+    def apply_plateau(self, state, plateau: PlateauState,
+                      val_metrics) -> Tuple[TrainState, PlateauState]:
+        """lr_scheduler.step(val_metric) (reference zinc/configs.py:147-151)."""
+        metric = self.trial_metric()
+        new_plateau = plateau_update(plateau, float(val_metrics[metric.name]))
+        if new_plateau.lr != plateau.lr:
+            state = state.replace(opt_state=set_lr(state.opt_state,
+                                                   new_plateau.lr))
+        return state, new_plateau
+
+    # ---- persistence -----------------------------------------------------
+    def persist_trial(self, ckpt_dir, state, plateau, hparams):
+        save_checkpoint(Path(ckpt_dir), state=state, plateau=plateau,
+                        hparams=hparams)
+
+    def restore_trial(self, ckpt_dir, data=None, seed: int = 0):
+        import json
+        meta = json.loads((Path(ckpt_dir) / "checkpoint.json").read_text())
+        hparams = meta.get("hparams", {})
+        model = self.model(hparams)
+        if data is None:
+            data = self.data(hparams)
+        template = self.init_state(model, hparams, data, seed)
+        state, plateau, _ = load_checkpoint(Path(ckpt_dir),
+                                            state_template=template)
+        return model, state, plateau, hparams, data
+
+    # ---- seeding ---------------------------------------------------------
+    def configure_seeds(self, seed: int):
+        np.random.seed(seed)
+
+    def rng(self, seed: int):
+        return jax.random.key(seed)

@@ -1,0 +1,108 @@
+"""EGC — Efficient Graph Convolution (the framework's flagship layer).
+
+One module covers both reference implementations (they differ only in
+weighting options and self-loop policy):
+
+- the paper layer ``EfficientGraphConv`` (reference
+  ``experiments/layers.py:11-147``): per-basis weight matrices, optional
+  softmax over the (B*A) axis per head, or sigmoid / hardtanh gating;
+  self-loops exist ONLY inside symnorm's gcn_norm — other aggregators see
+  the raw edge list. Use ``self_loop_mode="paper"``.
+- the upstreamed ``EGConv`` (reference
+  ``experiments/optimized_layers.py:19-286``): fused bases weight, head
+  mixing as one batched matmul, optional sigmoid; self-loops added for ALL
+  aggregators. Use ``self_loop_mode="all"``.
+
+Node-wise formulation (arXiv 2104.01481):
+
+    x'_i = ||_{h=1..H}  sum_{a in A} sum_{b=1..B}
+           w[i,h,b,a] * AGG_a_{j in N(i) (+ i)} (Theta_b x_j)
+
+Computation is TPU-shaped: ONE fused ``multi_aggregate`` pass over the edges
+produces all aggregators (the paper's "aggregator fusion"), and the head
+mixing is a single einsum that XLA maps onto the MXU. EGC-S = one aggregator
+with softmax weighting; EGC-M = several aggregators, no softmax.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from egc_tpu.graph.structure import Graph
+from egc_tpu.graph.transforms import symnorm_weight
+from egc_tpu.nn import init as einit
+from egc_tpu.ops import multi_aggregate, canonical_aggr
+
+
+class EGConv(nn.Module):
+    out_channels: int
+    num_heads: int = 8
+    num_bases: int = 4
+    aggrs: Tuple[str, ...] = ("symnorm",)
+    weighting: str = "none"        # none | softmax | sigmoid | hardtanh
+    add_self_loops: bool = True
+    self_loop_mode: str = "paper"  # paper | all (see module docstring)
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, x, *, train: bool = False):
+        H, B = self.num_heads, self.num_bases
+        aggrs = tuple(canonical_aggr(a) for a in self.aggrs)
+        A = len(aggrs)
+        O = self.out_channels
+        if O % H != 0:
+            raise ValueError("out_channels must be divisible by num_heads")
+        L = O // H
+        if self.weighting not in ("none", "softmax", "sigmoid", "hardtanh"):
+            raise ValueError(f"unknown weighting {self.weighting!r}")
+        if self.self_loop_mode not in ("paper", "all"):
+            raise ValueError(f"unknown self_loop_mode {self.self_loop_mode!r}")
+        n = x.shape[0]
+
+        # Bases: one fused [in, B*L] matmul (MXU), glorot per basis.
+        bases = nn.Dense(B * L, use_bias=False,
+                         kernel_init=einit.glorot_per_base(B),
+                         name="bases")(x)
+
+        # Per-node combination weights (torch Linear init parity).
+        fan_in = x.shape[-1]
+        w = nn.Dense(H * B * A, kernel_init=einit.torch_linear_kernel,
+                     bias_init=einit.torch_linear_bias(fan_in),
+                     name="comb")(x)
+        if self.weighting == "softmax":
+            # softmax across ALL bases*aggregators per head
+            # (reference experiments/layers.py:112-120).
+            w = nn.softmax(w.reshape(n, H, B * A), axis=-1)
+        elif self.weighting == "sigmoid":
+            w = nn.sigmoid(w)
+        elif self.weighting == "hardtanh":
+            w = jnp.clip(w, -1.0, 1.0)
+        w = w.reshape(n, H, B, A)
+
+        # Symnorm weights (computed in-graph; XLA CSEs the recomputation
+        # across layers within a step — the TPU analog of the reference's
+        # cached=True, optimized_layers.py:126-175).
+        sym_ew = sym_sw = None
+        if "symnorm" in aggrs:
+            sym_ew, sym_sw = symnorm_weight(
+                g.senders, g.receivers, n, edge_mask=g.edge_mask,
+                add_self_loops=self.add_self_loops, dtype=jnp.float32)
+
+        include_self = self.self_loop_mode == "all" and self.add_self_loops
+        y = multi_aggregate(
+            bases, g.senders, g.receivers, aggrs,
+            edge_mask=g.edge_mask, include_self=include_self,
+            symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw,
+            indices_are_sorted=True,
+        )                                     # [N, A, B*L]
+        y = y.reshape(n, A, B, L)
+
+        # Head mixing: one batched contraction on the MXU.
+        z = jnp.einsum("nhba,nabl->nhl", w, y).reshape(n, O)
+
+        if self.use_bias:
+            z = z + self.param("bias", nn.initializers.zeros, (O,), jnp.float32)
+        return z
