@@ -1,0 +1,131 @@
+"""Benchmark: EGC-M fwd+bwd training step throughput (edges/s/chip).
+
+The BASELINE.json headline metric: "edges/s/chip fwd+bwd (EGC-M,
+ogbn-arxiv)". Runs the flagship EGC-M ArxivNet (h136 H4 B4,
+aggrs symnorm/max/mean — the reference's best arxiv config,
+hyperparameters.md) full-graph training step on an ogbn-arxiv-shaped
+synthetic graph (169,343 nodes / ~2.33M directed edges after
+symmetrization) on one chip, and reports edges/s.
+
+``vs_baseline`` is the fraction of the chip's memory-bandwidth
+speed-of-light for this op mix (the reference publishes no throughput
+numbers — BASELINE.json.published is empty — so the roofline is the
+comparison point; BASELINE target: >=0.7 of SOL).
+
+Usage: python bench.py [--small] [--steps N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true",
+                    help="tiny shapes for a quick smoke run")
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--hidden", type=int, default=136)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from egc_tpu.data import synthetic
+    from egc_tpu.exp.fullgraph import full_graph_to_device_dict
+    from egc_tpu.models.nets import ConvSpec, ArxivNet
+    from egc_tpu.train.optim import make_optimizer
+    from egc_tpu.train.state import TrainState
+
+    if args.small:
+        n_nodes, avg_deg = 4096, 8
+    else:
+        n_nodes, avg_deg = 169_343, 14   # ~2.37M directed edges (arxiv-like)
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev.device_kind}, nodes={n_nodes}", flush=True)
+
+    raw = synthetic.synthetic_full_graph(
+        num_nodes=n_nodes, avg_degree=avg_deg, num_classes=40,
+        num_features=128, seed=0)
+    d = full_graph_to_device_dict(raw)
+    num_edges = int(np.asarray(d["graph"].edge_mask).sum())
+    print(f"# edges={num_edges}", flush=True)
+
+    hidden, heads, bases = args.hidden, 4, 4
+    num_layers = 3
+    conv = ConvSpec(kind="egc", heads=heads, bases=bases,
+                    aggrs=("symnorm", "max", "mean"))
+    net = ArxivNet(conv=conv, hidden_dim=hidden, num_layers=num_layers,
+                   dropout=0.0, residual=True, num_features=128,
+                   num_classes=40)
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.key(0), d["graph"], train=False)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables.get("batch_stats", {}),
+                              tx=make_optimizer(1e-2, 0.0))
+
+    y = d["y"]
+    tmask = d["masks"]["train"]
+
+    def loss_fn(params, batch_stats, graph, rng):
+        out, mutated = net.apply(
+            {"params": params, "batch_stats": batch_stats}, graph,
+            train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+        nll = -jnp.take_along_axis(out, y[:, None], axis=1).reshape(-1)
+        m = tmask.astype(out.dtype)
+        return jnp.sum(nll * m) / jnp.sum(m), mutated["batch_stats"]
+
+    @jax.jit
+    def step(state, graph, rng):
+        (loss, bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, graph,
+                                   rng)
+        return state.apply_gradients(grads, new_batch_stats=bs), loss
+
+    rng = jax.random.key(1)
+    # warmup / compile
+    t0 = time.time()
+    state, loss = step(state, d["graph"], rng)
+    jax.block_until_ready(loss)
+    print(f"# compile+first step: {time.time() - t0:.1f}s loss={float(loss):.4f}",
+          flush=True)
+    state, loss = step(state, d["graph"], rng)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for i in range(args.steps):
+        state, loss = step(state, d["graph"], rng)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / args.steps
+    edges_per_s = num_edges / dt
+
+    # Roofline speed-of-light (memory-bound): per edge per conv layer the
+    # fused multi-aggregate must move the gathered bases row (B*L floats)
+    # once in fwd and ~2x in bwd (cotangent gather + max-path recompute);
+    # node-side matmuls and pooled ops are second-order at arxiv scale.
+    kind = dev.device_kind.lower()
+    hbm_gbps = 819.0 if ("v5 lite" in kind or "v5e" in kind) else \
+        1640.0 if "v4" in kind else 2765.0 if "v5p" in kind else 819.0
+    bl = bases * (hidden // heads)
+    bytes_per_edge = num_layers * bl * 4 * 3
+    sol_edges_per_s = hbm_gbps * 1e9 / bytes_per_edge
+    vs = edges_per_s / sol_edges_per_s
+
+    print(json.dumps({
+        "metric": "egc_m_arxiv_train_edges_per_s_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(vs, 4),
+        "step_time_s": round(dt, 4),
+        "num_edges": num_edges,
+        "device": dev.device_kind,
+        "sol_edges_per_s": round(sol_edges_per_s, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Full-graph (transductive) experiment configs: ogbn-arxiv and ogbn-mag.
+
+Reference counterparts: ``experiments/arxiv/configs.py`` (one full-batch
+fwd/bwd per epoch, NLL on the train split, accuracy evaluator on all three
+splits, plateau patience 40 / stopper patience 80 / 1000 iters, grid search)
+and ``experiments/mag/configs.py`` (optimized EGConv net, 200 iters,
+patience 50, fixed hparams, checkpointing disabled).
+
+TPU shape: the whole graph lives on device; split indices become static
+boolean masks; the epoch == one jitted step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egc_tpu.graph.structure import Graph, pad_graph
+from egc_tpu.data import synthetic
+from egc_tpu.exp.config import (
+    ExperimentConfig, ExperimentSettings, Metric, StopperSpec,
+)
+from egc_tpu.exp.hyperparams import (
+    LogUniformHyperParam, UniformHyperParam,
+)
+from egc_tpu.models.nets import ConvSpec, ArxivNet, MagNet
+from egc_tpu.nn.conv.pna import avg_log_degree
+from egc_tpu.train.loop import make_train_step, make_eval_step
+from egc_tpu.train.optim import plateau_init
+from egc_tpu.train.state import TrainState
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def full_graph_to_device_dict(raw: Dict[str, Any]) -> Dict[str, Any]:
+    """Pad a host full-graph dict to hardware-friendly sizes + split masks."""
+    n = raw["x"].shape[0]
+    g = Graph.from_coo(raw["x"], raw["senders"], raw["receivers"])
+    g = pad_graph(g, num_nodes=_round_up(n + 1, 8),
+                  num_edges=_round_up(len(raw["senders"]), 128))
+    npad = g.num_nodes
+    y = np.zeros((npad,), np.int32)
+    y[:n] = raw["y"]
+    masks = {}
+    for split in ("train", "val", "test"):
+        m = np.zeros((npad,), bool)
+        m[raw[f"{split}_idx"]] = True
+        masks[split] = m
+    deg = np.zeros(n, np.int64)
+    np.add.at(deg, raw["receivers"], 1)
+    return {
+        "graph": jax.tree.map(jnp.asarray, g),
+        "y": jnp.asarray(y),
+        "masks": {k: jnp.asarray(v) for k, v in masks.items()},
+        "num_classes": raw["num_classes"],
+        "avg_log_deg": avg_log_degree(np.bincount(deg)),
+    }
+
+
+class FullGraphConfig(ExperimentConfig):
+    """Shared machinery for transductive node classification."""
+
+    num_layers: int = 3
+
+    def __init__(self, model_kind: str, hidden: int, *, heads: int = 8,
+                 bases: int = 8, softmax: bool = False,
+                 aggrs: Optional[Tuple[str, ...]] = None,
+                 gat_version: int = 1):
+        self.model_kind = model_kind
+        self.hidden = hidden
+        self.heads = heads
+        self.bases = bases
+        self.softmax = softmax
+        self.aggrs = tuple(aggrs) if aggrs else None
+        self.gat_version = gat_version
+        self._train_step = None
+        self._eval_step = None
+        self._avg_log_deg = 1.0
+
+    def load_full_graph(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def data(self, hparams):
+        d = full_graph_to_device_dict(self.load_full_graph())
+        self._avg_log_deg = d["avg_log_deg"]
+        return d
+
+    def conv_spec(self) -> ConvSpec:
+        kind = self.model_kind
+        if kind in ("gat", "gatv2"):
+            kind = "gat" if self.gat_version == 1 else "gatv2"
+        return ConvSpec(kind=kind, heads=self.heads, bases=self.bases,
+                        softmax=self.softmax, aggrs=self.aggrs,
+                        avg_log_deg=self._avg_log_deg)
+
+    def init_state(self, model, hparams, data, seed: int) -> TrainState:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            self.rng(seed), data["graph"], train=False)
+        return TrainState.create(params=variables["params"],
+                                 batch_stats=variables.get("batch_stats", {}),
+                                 tx=self.optimizer(hparams))
+
+    def loss_fn(self, out, y, graph):
+        labels, train_mask = y
+        nll = -jnp.take_along_axis(out, labels[:, None].astype(jnp.int32),
+                                   axis=1).reshape(-1)
+        m = train_mask.astype(out.dtype)
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    def _steps(self, model):
+        if self._train_step is None:
+            self._train_step = make_train_step(model, self.loss_fn)
+            self._eval_step = make_eval_step(model)
+        return self._train_step, self._eval_step
+
+    def train(self, model, state, data, rng, iteration: int):
+        step, _ = self._steps(model)
+        state, loss = step(state, data["graph"],
+                           (data["y"], data["masks"]["train"]),
+                           jax.random.fold_in(rng, iteration))
+        return state, {"train_loss": float(loss)}
+
+    def val(self, model, state, data):
+        _, eval_step = self._steps(model)
+        out = eval_step(state, data["graph"])
+        pred = jnp.argmax(out, axis=-1)
+        metrics = {}
+        for split, key in (("train", "train_acc"), ("val", "val_acc"),
+                           ("test", "test_acc")):
+            m = data["masks"][split]
+            correct = jnp.sum((pred == data["y"]) & m)
+            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
+        return metrics
+
+    def test(self, model, state, data):
+        return self.val(model, state, data)
+
+
+class ArxivConfig(FullGraphConfig):
+    name = "arxiv"
+    num_layers = 3                     # reference arxiv/configs.py:29
+
+    def settings(self):
+        return ExperimentSettings("arxiv", final_repeats=10,
+                                  final_max_iterations=1000)
+
+    def stoppers(self):
+        return StopperSpec(patience=80, max_iters=1000)
+
+    def trial_metric(self):
+        return Metric("val_acc", "max")
+
+    def hyperparams(self):
+        # reference arxiv/configs.py:140-144
+        return {
+            "lr": LogUniformHyperParam(0.001, 0.05, default=0.01),
+            "wd": LogUniformHyperParam(0.0001, 0.001, default=0.0005),
+            "dropout": UniformHyperParam(0.0, 0.2, default=0.2),
+        }
+
+    def plateau(self, hparams):
+        # ReduceLROnPlateau(patience=40): reference arxiv/configs.py:153-157
+        return plateau_init(hparams["lr"], mode="max", factor=0.5,
+                            patience=40, min_lr=1e-5)
+
+    def load_full_graph(self):
+        if self.synthetic:
+            return synthetic.synthetic_full_graph(
+                num_nodes=4000, avg_degree=12, num_classes=40,
+                num_features=128)
+        raise NotImplementedError("on-disk ogbn-arxiv reader: see data.ondisk")
+
+    def model(self, hparams):
+        return ArxivNet(conv=self.conv_spec(), hidden_dim=self.hidden,
+                        num_layers=self.num_layers,
+                        dropout=float(hparams.get("dropout", 0.2)),
+                        residual=True)
+
+
+class MagConfig(FullGraphConfig):
+    """Homogeneous ogbn-mag (paper-cites-paper) with the optimized EGConv
+    net; fixed hyperparameters (empty grid, reference mag/configs.py:108-109).
+    """
+
+    name = "mag"
+    num_layers = 2                     # reference mag/configs.py:25
+
+    def settings(self):
+        return ExperimentSettings("mag", final_repeats=10,
+                                  final_max_iterations=200,
+                                  checkpoint_at_end=False)
+
+    def stoppers(self):
+        return StopperSpec(patience=50, max_iters=200)
+
+    def trial_metric(self):
+        return Metric("val_acc", "max")
+
+    def hyperparams(self):
+        return {
+            "lr": LogUniformHyperParam(0.001, 0.05, default=0.01),
+            "wd": LogUniformHyperParam(0.0001, 0.001, default=0.0),
+            "dropout": UniformHyperParam(0.0, 0.5, default=0.5),
+        }
+
+    def plateau(self, hparams):
+        return plateau_init(hparams["lr"], mode="max", factor=0.5,
+                            patience=25, min_lr=1e-5)
+
+    def load_full_graph(self):
+        if self.synthetic:
+            return synthetic.synthetic_full_graph(
+                num_nodes=6000, avg_degree=10, num_classes=349,
+                num_features=128)
+        raise NotImplementedError("on-disk ogbn-mag reader: see data.ondisk")
+
+    def model(self, hparams):
+        return MagNet(hidden_dim=self.hidden, num_layers=self.num_layers,
+                      dropout=float(hparams.get("dropout", 0.5)),
+                      heads=self.heads, bases=self.bases,
+                      aggrs=self.aggrs or ("symnorm",))

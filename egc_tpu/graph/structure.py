@@ -49,7 +49,11 @@ class Graph:
     graph_ids: jnp.ndarray          # [N] int32
     graph_mask: jnp.ndarray         # [G] bool
     edges: Optional[Any] = None     # [E, ...] edge features (optional)
-    edge_weight: Optional[jnp.ndarray] = None  # [E] (optional)
+    edge_weight: Optional[jnp.ndarray] = None  # [E] (optional) — when set,
+    # convs treat it as the precomputed GCN symnorm edge weight (the
+    # transductive "cached" path; also required for partitioned graphs where
+    # local degree != global degree).
+    self_weight: Optional[jnp.ndarray] = None  # [N] companion self-loop weight
 
     @property
     def num_nodes(self) -> int:
@@ -143,6 +147,7 @@ def pad_graph(
         graph_mask=np.concatenate([np.asarray(g.graph_mask), np.zeros((dg,), bool)]),
         edges=pad_rows(g.edges, de),
         edge_weight=pad_rows(g.edge_weight, de),
+        self_weight=pad_rows(g.self_weight, dn),
     )
 
 

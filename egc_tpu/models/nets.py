@@ -100,6 +100,7 @@ class ZincNet(nn.Module):
     in_feat_drop: float = 0.0
     residual: bool = True
     readout: str = "mean"
+    bn_axis: str = None               # sync-BN mesh axis (data parallel)
     num_features: int = 28            # reference zinc/models.py:14
 
     @nn.compact
@@ -112,7 +113,7 @@ class ZincNet(nn.Module):
             identity = x
             x = self.conv.build(self.hidden_dim, i, self.num_layers)(
                 g, x, train=train)
-            x = MaskedBatchNorm()(x, g.node_mask,
+            x = MaskedBatchNorm(axis_name=self.bn_axis)(x, g.node_mask,
                                   use_running_average=not train)
             x = nn.relu(x)
             if self.residual:
@@ -120,7 +121,8 @@ class ZincNet(nn.Module):
         pooled = get_pool(self.readout)(x, g.graph_ids, g.num_graphs,
                                         g.node_mask)
         h = self.hidden_dim
-        return MLP([h // 2, h // 4, 1])(pooled, g.graph_mask, train=train)
+        return MLP([h // 2, h // 4, 1], bn_axis=self.bn_axis)(
+            pooled, g.graph_mask, train=train)
 
 
 class CifarNet(nn.Module):
@@ -132,6 +134,7 @@ class CifarNet(nn.Module):
     dropout: float = 0.0
     residual: bool = True
     readout: str = "mean"
+    bn_axis: str = None
     num_features: int = 5             # reference cifar/models.py:14
     num_classes: int = 10
 
@@ -144,7 +147,7 @@ class CifarNet(nn.Module):
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             x = self.conv.build(self.hidden_dim, i, self.num_layers)(
                 g, x, train=train)
-            x = MaskedBatchNorm()(x, g.node_mask,
+            x = MaskedBatchNorm(axis_name=self.bn_axis)(x, g.node_mask,
                                   use_running_average=not train)
             x = nn.relu(x)
             if self.residual:
@@ -152,8 +155,8 @@ class CifarNet(nn.Module):
         pooled = get_pool(self.readout)(x, g.graph_ids, g.num_graphs,
                                         g.node_mask)
         h = self.hidden_dim
-        return MLP([h // 2, h // 4, self.num_classes])(pooled, g.graph_mask,
-                                                       train=train)
+        return MLP([h // 2, h // 4, self.num_classes],
+                   bn_axis=self.bn_axis)(pooled, g.graph_mask, train=train)
 
 
 class HIVNet(nn.Module):
@@ -165,6 +168,7 @@ class HIVNet(nn.Module):
     in_feat_drop: float = 0.0
     residual: bool = True
     readout: str = "mean"
+    bn_axis: str = None
 
     @nn.compact
     def __call__(self, g: Graph, *, train: bool):
@@ -174,7 +178,7 @@ class HIVNet(nn.Module):
             identity = x
             x = self.conv.build(self.hidden_dim, i, self.num_layers)(
                 g, x, train=train)
-            x = MaskedBatchNorm()(x, g.node_mask,
+            x = MaskedBatchNorm(axis_name=self.bn_axis)(x, g.node_mask,
                                   use_running_average=not train)
             x = nn.relu(x)
             if self.residual:
@@ -182,7 +186,8 @@ class HIVNet(nn.Module):
         pooled = get_pool(self.readout)(x, g.graph_ids, g.num_graphs,
                                         g.node_mask)
         h = self.hidden_dim
-        return MLP([h // 2, h // 4, 1])(pooled, g.graph_mask, train=train)
+        return MLP([h // 2, h // 4, 1], bn_axis=self.bn_axis)(
+            pooled, g.graph_mask, train=train)
 
 
 class ArxivNet(nn.Module):
@@ -196,6 +201,7 @@ class ArxivNet(nn.Module):
     num_layers: int = 3
     dropout: float = 0.5
     residual: bool = True
+    bn_axis: str = None
     num_features: int = 128           # reference arxiv/norm_models.py:10
     num_classes: int = 40
 
@@ -207,7 +213,7 @@ class ArxivNet(nn.Module):
             identity = x
             x = self.conv.build(self.hidden_dim, i, self.num_layers)(
                 g, x, train=train)
-            x = MaskedBatchNorm()(x, g.node_mask,
+            x = MaskedBatchNorm(axis_name=self.bn_axis)(x, g.node_mask,
                                   use_running_average=not train)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -230,6 +236,7 @@ class CodeNet(nn.Module):
     in_feat_drop: float = 0.0
     residual: bool = True
     readout: str = "mean"
+    bn_axis: str = None
     vocab_size: int = 5000            # reference code/utils.py:11
     seq_len: int = 5
     num_nodeattributes: int = 10030
@@ -247,7 +254,7 @@ class CodeNet(nn.Module):
             identity = x
             x = self.conv.build(self.hidden_dim, i, self.num_layers)(
                 g, x, train=train)
-            x = MaskedBatchNorm()(x, g.node_mask,
+            x = MaskedBatchNorm(axis_name=self.bn_axis)(x, g.node_mask,
                                   use_running_average=not train)
             x = nn.relu(x)
             if self.residual:

@@ -87,9 +87,13 @@ class EGConv(nn.Module):
         # cached=True, optimized_layers.py:126-175).
         sym_ew = sym_sw = None
         if "symnorm" in aggrs:
-            sym_ew, sym_sw = symnorm_weight(
-                g.senders, g.receivers, n, edge_mask=g.edge_mask,
-                add_self_loops=self.add_self_loops, dtype=jnp.float32)
+            if g.edge_weight is not None:
+                # precomputed (transductive cache / partitioned-global) weights
+                sym_ew, sym_sw = g.edge_weight, g.self_weight
+            else:
+                sym_ew, sym_sw = symnorm_weight(
+                    g.senders, g.receivers, n, edge_mask=g.edge_mask,
+                    add_self_loops=self.add_self_loops, dtype=jnp.float32)
 
         include_self = self.self_loop_mode == "all" and self.add_self_loops
         y = multi_aggregate(

@@ -30,14 +30,18 @@ class GCNConv(nn.Module):
         n = x.shape[0]
         h = nn.Dense(self.out_channels, use_bias=False,
                      kernel_init=einit.glorot_uniform, name="lin")(x)
-        ew, sw = symnorm_weight(g.senders, g.receivers, n,
-                                edge_mask=g.edge_mask,
-                                add_self_loops=self.add_self_loops,
-                                dtype=jnp.float32)
+        if g.edge_weight is not None:
+            ew, sw = g.edge_weight, g.self_weight
+        else:
+            ew, sw = symnorm_weight(g.senders, g.receivers, n,
+                                    edge_mask=g.edge_mask,
+                                    add_self_loops=self.add_self_loops,
+                                    dtype=jnp.float32)
         msg = jnp.take(h, g.senders, axis=0) * ew[:, None].astype(h.dtype)
         out = segment_sum(msg, g.receivers, n, mask=g.edge_mask,
                           indices_are_sorted=True)
-        out = out + sw[:, None].astype(h.dtype) * h
+        if sw is not None:
+            out = out + sw[:, None].astype(h.dtype) * h
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.out_channels,), jnp.float32)

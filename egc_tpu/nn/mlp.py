@@ -19,6 +19,7 @@ class MLP(nn.Module):
     layer_sizes: Sequence[int]      # output sizes [l1, ..., lk]
     act: Callable = nn.relu
     dropout: float = 0.0
+    bn_axis: str = None             # sync-BN mesh axis (optional)
 
     @nn.compact
     def __call__(self, x, mask=None, *, train: bool):
@@ -27,7 +28,7 @@ class MLP(nn.Module):
             fan_in = x.shape[-1]
             x = nn.Dense(size, kernel_init=einit.torch_linear_kernel,
                          bias_init=einit.torch_linear_bias(fan_in))(x)
-            x = MaskedBatchNorm()(x, mask, use_running_average=not train)
+            x = MaskedBatchNorm(axis_name=self.bn_axis)(x, mask, use_running_average=not train)
             x = self.act(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         fan_in = x.shape[-1]

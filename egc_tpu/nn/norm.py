@@ -26,10 +26,16 @@ class MaskedBatchNorm(nn.Module):
     use_scale: bool = True
     use_bias: bool = True
     dtype: Optional[jnp.dtype] = None
+    axis_name: Optional[str] = None   # sync-BN across a mesh axis (psum)
 
     @nn.compact
     def __call__(self, x, mask=None, *, use_running_average: bool):
-        """x: [N, F]; mask: [N] bool or None (None = all rows valid)."""
+        """x: [N, F]; mask: [N] bool or None (None = all rows valid).
+
+        With ``axis_name`` set (inside shard_map/pmap), statistics are
+        computed over the GLOBAL batch via psum — data-parallel training
+        then matches single-device numerics exactly.
+        """
         features = x.shape[-1]
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros((features,), jnp.float32))
@@ -39,16 +45,25 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
+            import jax
+
             xf = x.astype(jnp.float32)
             if mask is None:
+                s = jnp.sum(xf, axis=0)
+                ssq = jnp.sum(jnp.square(xf), axis=0)
                 n = jnp.asarray(x.shape[0], jnp.float32)
-                mean = jnp.mean(xf, axis=0)
-                var = jnp.mean(jnp.square(xf - mean), axis=0)
             else:
                 m = mask.astype(jnp.float32)[:, None]
-                n = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(xf * m, axis=0) / n
-                var = jnp.sum(jnp.square(xf - mean) * m, axis=0) / n
+                s = jnp.sum(xf * m, axis=0)
+                ssq = jnp.sum(jnp.square(xf) * m, axis=0)
+                n = jnp.sum(m)
+            if self.axis_name is not None:
+                s = jax.lax.psum(s, self.axis_name)
+                ssq = jax.lax.psum(ssq, self.axis_name)
+                n = jax.lax.psum(n, self.axis_name)
+            n = jnp.maximum(n, 1.0)
+            mean = s / n
+            var = jnp.maximum(ssq / n - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 unbiased = var * n / jnp.maximum(n - 1.0, 1.0)
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + \

@@ -1,0 +1,256 @@
+"""Host-side graph partitioner + halo-exchange plan compiler.
+
+The GNN analog of tensor/sequence parallelism (SURVEY §2.4): for full-graph
+training, nodes are partitioned across the ``graph`` mesh axis; every edge is
+assigned to its receiver's partition, so aggregation is fully local once the
+*halo* (remote sender features) is exchanged. This module compiles, on the
+host, everything the device-side exchange (egc_tpu.parallel.halo) needs:
+
+- node ownership (BFS-locality blocks or hash partition),
+- per-pair send lists padded to a common halo budget H (static shapes for
+  ``jax.lax.all_to_all``),
+- per-partition local edge lists whose senders index an *extended* feature
+  array ``[n_local | P * H halo slots]``,
+- GLOBAL symnorm weights gathered per partition (local degrees would be
+  wrong — the global graph's normalization must be preserved),
+- local labels / split masks.
+
+All outputs are stacked with a leading partition axis P, ready for
+``shard_map``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from egc_tpu.graph.structure import Graph
+
+
+@dataclasses.dataclass
+class PartitionPlan:
+    num_parts: int
+    n_local: int           # padded owned-node count per partition
+    halo: int              # padded per-(src,dst) halo transfer size H
+    e_local: int           # padded local edge count
+    owner: np.ndarray      # [N_global] partition of each node
+    local_index: np.ndarray  # [N_global] index within owner partition
+    # stacked per-partition arrays (leading axis P):
+    node_gids: np.ndarray  # [P, n_local] global id per local slot (-1 pad)
+    node_mask: np.ndarray  # [P, n_local] owned & real
+    send_idx: np.ndarray   # [P, P, H] local indices to send (p -> q)
+    send_mask: np.ndarray  # [P, P, H]
+    senders_ext: np.ndarray    # [P, e_local] index into [n_local + P*H]
+    receivers_loc: np.ndarray  # [P, e_local] local receiver index
+    edge_mask: np.ndarray      # [P, e_local]
+    sym_edge_w: Optional[np.ndarray] = None  # [P, e_local]
+    sym_self_w: Optional[np.ndarray] = None  # [P, n_local]
+
+    @property
+    def n_ext(self) -> int:
+        return self.n_local + self.num_parts * self.halo
+
+    def scatter_nodes(self, values: np.ndarray, fill=0) -> np.ndarray:
+        """Gather a [N_global, ...] array into [P, n_local, ...] layout."""
+        out_shape = (self.num_parts, self.n_local) + values.shape[1:]
+        out = np.full(out_shape, fill, dtype=values.dtype)
+        valid = self.node_gids >= 0
+        out[valid] = values[self.node_gids[valid]]
+        return out
+
+    def gather_nodes(self, local_values: np.ndarray, num_global: int
+                     ) -> np.ndarray:
+        """Inverse of scatter_nodes for [P, n_local, ...] arrays."""
+        out = np.zeros((num_global,) + local_values.shape[2:],
+                       local_values.dtype)
+        valid = self.node_gids >= 0
+        out[self.node_gids[valid]] = local_values[valid]
+        return out
+
+    def extended_graph(self, nodes_local: np.ndarray) -> Graph:
+        """Per-partition Graph pytree (stacked leading axis P) over the
+        extended node array [n_local + P*H]."""
+        P, n_ext, e = self.num_parts, self.n_ext, self.e_local
+        node_mask_ext = np.zeros((P, n_ext), bool)
+        node_mask_ext[:, :self.n_local] = self.node_mask
+        sym_self_ext = None
+        if self.sym_self_w is not None:
+            sym_self_ext = np.zeros((P, n_ext), np.float32)
+            sym_self_ext[:, :self.n_local] = self.sym_self_w
+        return Graph(
+            nodes=nodes_local,
+            senders=self.senders_ext,
+            receivers=self.receivers_loc,
+            node_mask=node_mask_ext,
+            edge_mask=self.edge_mask,
+            graph_ids=np.zeros((P, n_ext), np.int32),
+            graph_mask=np.ones((P, 1), bool),
+            edge_weight=self.sym_edge_w,
+            self_weight=sym_self_ext,
+        )
+
+
+def _bfs_order(senders, receivers, num_nodes) -> np.ndarray:
+    """BFS node ordering for locality (cheap METIS stand-in)."""
+    import collections
+    adj_start = np.zeros(num_nodes + 1, np.int64)
+    np.add.at(adj_start[1:], senders, 1)
+    adj_start = np.cumsum(adj_start)
+    order_by_s = np.argsort(senders, kind="stable")
+    nbrs = receivers[order_by_s]
+    visited = np.zeros(num_nodes, bool)
+    out = np.empty(num_nodes, np.int64)
+    k = 0
+    for seed in range(num_nodes):
+        if visited[seed]:
+            continue
+        dq = collections.deque([seed])
+        visited[seed] = True
+        while dq:
+            u = dq.popleft()
+            out[k] = u
+            k += 1
+            for v in nbrs[adj_start[u]:adj_start[u + 1]]:
+                if not visited[v]:
+                    visited[v] = True
+                    dq.append(v)
+    return out
+
+
+def partition_graph(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    num_parts: int,
+    *,
+    method: str = "bfs",          # "bfs" (locality blocks) | "hash" | "block"
+    sym_edge_w: Optional[np.ndarray] = None,
+    sym_self_w: Optional[np.ndarray] = None,
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+    halo_multiple: int = 8,
+) -> PartitionPlan:
+    senders = np.asarray(senders, np.int64)
+    receivers = np.asarray(receivers, np.int64)
+
+    # --- ownership ------------------------------------------------------
+    if method == "hash":
+        owner = (np.arange(num_nodes) * 2654435761 % 2**32) % num_parts
+    elif method in ("bfs", "block"):
+        order = _bfs_order(senders, receivers, num_nodes) if method == "bfs" \
+            else np.arange(num_nodes)
+        owner = np.empty(num_nodes, np.int64)
+        per = -(-num_nodes // num_parts)
+        for p in range(num_parts):
+            owner[order[p * per:(p + 1) * per]] = p
+    else:
+        raise ValueError(f"unknown partition method {method!r}")
+
+    counts = np.bincount(owner, minlength=num_parts)
+    local_index = np.empty(num_nodes, np.int64)
+    for p in range(num_parts):
+        local_index[owner == p] = np.arange(counts[p])
+
+    def round_up(x, m):
+        return ((x + m - 1) // m) * m
+
+    # reserve >=1 pad slot per partition (padded edges need a safe target)
+    n_local = round_up(int(counts.max()) + 1, node_multiple)
+
+    # --- halo send lists -----------------------------------------------
+    # part(receiver) needs sender; dedup (src_owner, dst_owner, sender).
+    e_owner = owner[receivers]                 # partition computing each edge
+    s_owner = owner[senders]
+    remote = e_owner != s_owner
+    key = (s_owner[remote] * num_parts + e_owner[remote]) * num_nodes + \
+        senders[remote]
+    uniq = np.unique(key)
+    u_src_owner = uniq // (num_parts * num_nodes)
+    u_dst_owner = (uniq // num_nodes) % num_parts
+    u_sender = uniq % num_nodes
+
+    pair_counts = np.zeros((num_parts, num_parts), np.int64)
+    np.add.at(pair_counts, (u_src_owner, u_dst_owner), 1)
+    halo = round_up(max(int(pair_counts.max()), 1), halo_multiple)
+
+    send_idx = np.zeros((num_parts, num_parts, halo), np.int32)
+    send_mask = np.zeros((num_parts, num_parts, halo), bool)
+    # position of each halo node within its (src, dst) send list: uniq is
+    # sorted by (src, dst, sender), so position = rank within the (src, dst)
+    # group (vectorized cumcount).
+    gp = u_src_owner * num_parts + u_dst_owner
+    if len(gp):
+        change = np.r_[True, gp[1:] != gp[:-1]]
+        seg_start = np.maximum.accumulate(
+            np.where(change, np.arange(len(gp)), 0))
+        halo_pos = np.arange(len(gp)) - seg_start
+    else:
+        halo_pos = np.zeros(0, np.int64)
+    send_idx[u_src_owner, u_dst_owner, halo_pos] = \
+        local_index[u_sender].astype(np.int32)
+    send_mask[u_src_owner, u_dst_owner, halo_pos] = True
+
+    # --- local edge lists ----------------------------------------------
+    # ext layout: [0, n_local) owned; [n_local + p*halo + pos] for halo
+    # received from partition p.
+    e_per = np.bincount(e_owner, minlength=num_parts)
+    e_local = round_up(int(e_per.max()), edge_multiple)
+    n_ext = n_local + num_parts * halo
+    senders_ext = np.full((num_parts, e_local), n_ext - 1, np.int32)
+    receivers_loc = np.full((num_parts, e_local), n_local - 1, np.int32)
+    edge_mask = np.zeros((num_parts, e_local), bool)
+    sym_ew_local = None
+    if sym_edge_w is not None:
+        sym_ew_local = np.zeros((num_parts, e_local), np.float32)
+
+    # per-edge slot within its partition (vectorized cumcount over e_owner)
+    eorder = np.argsort(e_owner, kind="stable")
+    eo_sorted = e_owner[eorder]
+    if len(eo_sorted):
+        echange = np.r_[True, eo_sorted[1:] != eo_sorted[:-1]]
+        eseg = np.maximum.accumulate(
+            np.where(echange, np.arange(len(eo_sorted)), 0))
+        epos_sorted = np.arange(len(eo_sorted)) - eseg
+        epos = np.empty(len(senders), np.int64)
+        epos[eorder] = epos_sorted
+    else:
+        epos = np.zeros(0, np.int64)
+
+    # extended sender index per edge: local if same-owner, else the halo slot
+    # found by binary search into the sorted unique halo keys.
+    rem_key = (s_owner * num_parts + e_owner) * num_nodes + senders
+    pos_in_uniq = np.searchsorted(uniq, rem_key)
+    pos_in_uniq = np.clip(pos_in_uniq, 0, max(len(uniq) - 1, 0))
+    ext_remote = (n_local + u_src_owner[pos_in_uniq] * halo +
+                  halo_pos[pos_in_uniq]) if len(uniq) else \
+        np.zeros(len(senders), np.int64)
+    sender_ext_per_edge = np.where(s_owner == e_owner,
+                                   local_index[senders], ext_remote)
+
+    receivers_loc[e_owner, epos] = local_index[receivers].astype(np.int32)
+    senders_ext[e_owner, epos] = sender_ext_per_edge.astype(np.int32)
+    edge_mask[e_owner, epos] = True
+    if sym_edge_w is not None:
+        sym_ew_local[e_owner, epos] = sym_edge_w
+
+    node_gids = np.full((num_parts, n_local), -1, np.int64)
+    node_mask = np.zeros((num_parts, n_local), bool)
+    gids = np.arange(num_nodes)
+    node_gids[owner, local_index] = gids
+    node_mask[owner, local_index] = True
+
+    sym_sw_local = None
+    if sym_self_w is not None:
+        sym_sw_local = np.zeros((num_parts, n_local), np.float32)
+        sym_sw_local[owner, local_index] = sym_self_w
+
+    return PartitionPlan(
+        num_parts=num_parts, n_local=n_local, halo=halo, e_local=e_local,
+        owner=owner, local_index=local_index, node_gids=node_gids,
+        node_mask=node_mask, send_idx=send_idx, send_mask=send_mask,
+        senders_ext=senders_ext, receivers_loc=receivers_loc,
+        edge_mask=edge_mask, sym_edge_w=sym_ew_local,
+        sym_self_w=sym_sw_local,
+    )
