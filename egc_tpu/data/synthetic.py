@@ -181,3 +181,45 @@ def _split(graphs, frac_train=0.7, frac_val=0.15):
         "val": graphs[n_tr:n_tr + n_va],
         "test": graphs[n_tr + n_va:],
     }
+
+
+def synthetic_rmag(num_paper=800, num_author=400, num_inst=40, num_fos=80,
+                   num_classes=20, num_features=64, seed=0):
+    """Hetero ogbn-mag stand-in with the reference's 7 relation types
+    (reference rmag/models.py:18-26), homophilous paper-cites-paper."""
+    from egc_tpu.graph.hetero import rel_key
+
+    rng = np.random.default_rng(seed)
+    base = synthetic_full_graph(num_nodes=num_paper, avg_degree=8,
+                                num_classes=num_classes,
+                                num_features=num_features, seed=seed)
+
+    def rand_edges(n_src, n_dst, count):
+        return (rng.integers(0, n_src, count).astype(np.int32),
+                rng.integers(0, n_dst, count).astype(np.int32))
+
+    aw_s, aw_r = rand_edges(num_author, num_paper, num_paper * 3)
+    ai_s, ai_r = rand_edges(num_author, num_inst, num_author)
+    ht_s, ht_r = rand_edges(num_paper, num_fos, num_paper * 2)
+    edges = {
+        rel_key("author", "affiliated_with", "institution"): (ai_s, ai_r),
+        rel_key("institution", "to", "author"): (ai_r, ai_s),
+        rel_key("author", "writes", "paper"): (aw_s, aw_r),
+        rel_key("paper", "to", "author"): (aw_r, aw_s),
+        rel_key("paper", "cites", "paper"): (base["senders"],
+                                             base["receivers"]),
+        rel_key("paper", "has_topic", "field_of_study"): (ht_s, ht_r),
+        rel_key("field_of_study", "to", "paper"): (ht_r, ht_s),
+    }
+    nodes = {
+        "paper": base["x"],
+        # featureless types: zero-width placeholders (embeddings learned)
+        "author": np.zeros((num_author, 0), np.float32),
+        "institution": np.zeros((num_inst, 0), np.float32),
+        "field_of_study": np.zeros((num_fos, 0), np.float32),
+    }
+    return {
+        "nodes": nodes, "edges": edges, "y": base["y"],
+        "train_idx": base["train_idx"], "val_idx": base["val_idx"],
+        "test_idx": base["test_idx"], "num_classes": num_classes,
+    }

@@ -1,0 +1,143 @@
+"""Heterogeneous ogbn-mag (rmag) experiment config.
+
+Reference counterpart ``experiments/rmag/configs.py``: full-graph hetero
+node classification on paper nodes; REGConv layers (final RGCNConv); Choice
+hyperparameter grids; 200 iters / patience 50; plateau patience 10.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from egc_tpu.data import synthetic
+from egc_tpu.exp.config import (
+    ExperimentConfig, ExperimentSettings, Metric, StopperSpec,
+)
+from egc_tpu.exp.hyperparams import ChoiceHyperParam
+from egc_tpu.graph.hetero import hetero_from_numpy
+from egc_tpu.nn.conv.hetero import REGCNet
+from egc_tpu.train.loop import make_train_step, make_eval_step
+from egc_tpu.train.optim import plateau_init
+from egc_tpu.train.state import TrainState
+
+
+class RMagConfig(ExperimentConfig):
+    name = "rmag"
+    num_layers = 2                     # reference rmag/configs.py:23
+
+    def __init__(self, hidden: int, *, heads: int = 4, bases: int = 4,
+                 use_egc: bool = True):
+        self.hidden = hidden
+        self.heads = heads
+        self.bases = bases
+        self.use_egc = use_egc
+        self._train_step = None
+        self._eval_step = None
+
+    def settings(self):
+        return ExperimentSettings("rmag", final_repeats=10,
+                                  final_max_iterations=200)
+
+    def stoppers(self):
+        return StopperSpec(patience=50, max_iters=200)
+
+    def trial_metric(self):
+        return Metric("val_acc", "max")
+
+    def hyperparams(self):
+        # reference rmag/configs.py:137-139
+        return {
+            "lr": ChoiceHyperParam([0.001, 0.01, 0.05, 0.1], default=0.01),
+            "wd": ChoiceHyperParam([5e-5, 1e-4, 5e-4, 1e-3], default=1e-3),
+            "dropout": ChoiceHyperParam([0.3, 0.5, 0.7], default=0.5),
+        }
+
+    def plateau(self, hparams):
+        return plateau_init(hparams["lr"], mode="max", factor=0.5,
+                            patience=10, min_lr=1e-5)
+
+    def load_hetero(self) -> Dict[str, Any]:
+        if self.synthetic:
+            return synthetic.synthetic_rmag()
+        raise NotImplementedError("on-disk ogbn-mag hetero reader")
+
+    def data(self, hparams):
+        raw = self.load_hetero()
+        hg = hetero_from_numpy(raw["nodes"], raw["edges"])
+        hg = jax.tree.map(jnp.asarray, hg)
+        n_paper = hg.num_nodes("paper")
+        y = np.zeros(n_paper, np.int32)
+        y[:len(raw["y"])] = raw["y"]
+        masks = {}
+        for split in ("train", "val", "test"):
+            m = np.zeros(n_paper, bool)
+            m[raw[f"{split}_idx"]] = True
+            masks[split] = jnp.asarray(m)
+        featless = tuple(sorted(t for t, x in raw["nodes"].items()
+                                if x.shape[-1] == 0))
+        d = {"hetero": hg, "y": jnp.asarray(y), "masks": masks,
+             "num_classes": raw["num_classes"],
+             "featureless": featless,
+             "in_features": raw["nodes"]["paper"].shape[-1]}
+        self._last_data = d
+        return d
+
+    def model(self, hparams):
+        # net shape depends on data metadata (class count, featureless
+        # types); the runner calls data() first, so reuse its result.
+        data = getattr(self, "_last_data", None) or self.data(hparams)
+        return REGCNet(hidden_dim=self.hidden, num_layers=self.num_layers,
+                       dropout=float(hparams.get("dropout", 0.5)),
+                       use_egc=self.use_egc, heads=self.heads,
+                       bases=self.bases,
+                       num_classes=data["num_classes"],
+                       in_features=data["in_features"],
+                       featureless_types=data["featureless"])
+
+    def init_state(self, model, hparams, data, seed: int) -> TrainState:
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            self.rng(seed), data["hetero"], train=False)
+        return TrainState.create(params=variables["params"],
+                                 batch_stats=variables.get("batch_stats", {}),
+                                 tx=self.optimizer(hparams))
+
+    def train(self, model, state, data, rng, iteration: int):
+        step = self._get_steps(model)
+        state, loss = step["train"](
+            state, data["hetero"], (data["y"], data["masks"]["train"]),
+            jax.random.fold_in(rng, iteration))
+        return state, {"train_loss": float(loss)}
+
+    def _get_steps(self, model):
+        if self._train_step is None:
+
+            def loss_fn(out, y, hg):
+                labels, train_mask = y
+                nll = -jnp.take_along_axis(
+                    out, labels[:, None].astype(jnp.int32), axis=1
+                ).reshape(-1)
+                m = train_mask.astype(out.dtype)
+                return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+            self._train_step = make_train_step(model, loss_fn)
+            self._eval_step = make_eval_step(model)
+        return {"train": self._train_step, "eval": self._eval_step}
+
+    def val(self, model, state, data):
+        steps = self._get_steps(model)
+        out = steps["eval"](state, data["hetero"])
+        pred = jnp.argmax(out, axis=-1)
+        metrics = {}
+        for split, key in (("train", "train_acc"), ("val", "val_acc"),
+                           ("test", "test_acc")):
+            m = data["masks"][split]
+            correct = jnp.sum((pred == data["y"]) & m)
+            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
+        return metrics
+
+    def test(self, model, state, data):
+        return self.val(model, state, data)

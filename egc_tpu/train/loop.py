@@ -27,7 +27,8 @@ def make_train_step(model, loss_fn: Callable):
                 {"params": params, "batch_stats": state.batch_stats},
                 graph, train=True, rngs={"dropout": rng},
                 mutable=["batch_stats"])
-            return loss_fn(out, y, graph), mutated["batch_stats"]
+            return loss_fn(out, y, graph), \
+                mutated.get("batch_stats", state.batch_stats)
 
         (loss, bs), grads = jax.value_and_grad(
             loss_wrapped, has_aux=True)(state.params)

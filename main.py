@@ -1,0 +1,174 @@
+"""egc_tpu CLI — mirrors the reference driver surface
+(reference ``main.py:211-372``):
+
+    python main.py EXP_DIR MODEL DATASET [options]
+
+Modes: --check (smoke), --pretrained (restore + test from EXP_DIR),
+hyperparameter search (default), --use-default-hparams / --hparams to skip
+search and go straight to seeded final runs.
+
+Deviations from the reference, by design:
+- ``--hparams`` is parsed with ast.literal_eval, not eval (reference
+  main.py:356 uses eval — SURVEY §7.3 known quirk).
+- ``--pretrained`` restores a local checkpoint directory (this environment
+  has no network egress; the reference downloads Dropbox checkpoints).
+- ``--synthetic/--real``: synthetic datasets are the default here (no
+  egress); --real requires datasets on disk under DATASET_LOC.
+- No Ray: search runs in-process (trial parallelism across hosts is the
+  parallel runner's job, egc_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import sys
+import time
+from pathlib import Path
+
+import click
+
+from egc_tpu.exp.batched import ZincConfig, CifarConfig, MolConfig, CodeConfig
+from egc_tpu.exp.fullgraph import ArxivConfig, MagConfig
+from egc_tpu.exp.runner import check_config, train_final_models
+from egc_tpu.exp.search import (
+    run_search, RandomSearchStrategy, GridSearchStrategy,
+)
+
+MODELS = ["gcn", "gat", "egc", "gin", "mpnn-sum", "mpnn-max", "pna", "sage",
+          "gatv2"]
+DATASETS = ["zinc", "hiv", "arxiv", "cifar", "code", "rmag", "mag"]
+
+# reference support matrix (main.py:56-208)
+SUPPORTED = {
+    "zinc": {"egc", "gatv2"},
+    "cifar": {"egc", "gatv2"},
+    "hiv": {"egc", "gcn", "gat", "gatv2", "gin", "mpnn-sum", "mpnn-max",
+            "sage"},
+    "arxiv": set(MODELS),
+    "code": set(MODELS),
+    "mag": {"egc"},
+    "rmag": {"egc"},
+}
+
+
+def _conv_kwargs(model, heads, bases, aggrs):
+    kw = {}
+    if model == "egc":
+        if aggrs is None:
+            raise click.UsageError("--aggrs is required for egc")
+        kw.update(heads=heads or 8, bases=bases or 4,
+                  aggrs=tuple(aggrs.split(",")))
+    return kw
+
+
+def build_config(dataset, model, *, hidden, heads, bases, aggrs,
+                 num_samples, synthetic=True):
+    if model not in SUPPORTED[dataset]:
+        raise click.UsageError(
+            f"{model!r} not supported for {dataset!r} "
+            f"(supported: {sorted(SUPPORTED[dataset])})")
+    if hidden is None:
+        raise click.UsageError("--hidden is required")
+    kw = _conv_kwargs(model, heads, bases, aggrs)
+    if dataset == "zinc":
+        cfg = ZincConfig(model, hidden, **kw)
+    elif dataset == "cifar":
+        cfg = CifarConfig(model, hidden, **kw)
+    elif dataset == "hiv":
+        cfg = MolConfig(model, hidden, **kw)
+    elif dataset == "code":
+        cfg = CodeConfig(model, hidden, **kw)
+    elif dataset == "arxiv":
+        cfg = ArxivConfig(model, hidden, heads=heads or 8, bases=bases or 8,
+                          aggrs=tuple(aggrs.split(",")) if aggrs else None,
+                          gat_version=2 if model == "gatv2" else 1)
+    elif dataset == "mag":
+        cfg = MagConfig(model, hidden, heads=heads or 8, bases=bases or 4,
+                        aggrs=tuple(aggrs.split(",")) if aggrs else
+                        ("symnorm",))
+    elif dataset == "rmag":
+        from egc_tpu.exp.hetero import RMagConfig
+        cfg = RMagConfig(hidden, heads=heads or 4, bases=bases or 4)
+    else:
+        raise click.UsageError(f"unknown dataset {dataset}")
+    cfg.synthetic = synthetic
+    cfg._num_samples = num_samples
+    return cfg
+
+
+def dump_invocation_state(exp_dir: Path):
+    (exp_dir / "invocation.json").write_text(json.dumps({
+        "argv": sys.argv, "time": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }))
+
+
+@click.command()
+@click.argument("exp_directory", type=click.Path(file_okay=False))
+@click.argument("model", type=click.Choice(MODELS))
+@click.argument("dataset", type=click.Choice(DATASETS))
+@click.option("--num-samples", type=int, default=50)
+@click.option("--check", is_flag=True)
+@click.option("--check-epochs", type=int, default=200)
+@click.option("--use-default-hparams", is_flag=True)
+@click.option("--hparams", type=str, default=None)
+@click.option("--egc-num-bases", type=int, default=None)
+@click.option("--egc-num-heads", type=int, default=None)
+@click.option("--final-runs", type=int, default=None)
+@click.option("--aggrs", type=str, default=None)
+@click.option("--hidden", type=int, default=None)
+@click.option("--seed-base", type=int, default=0)
+@click.option("--use-old-code-dataset", is_flag=True)
+@click.option("--pretrained", is_flag=True)
+@click.option("--synthetic/--real", default=True,
+              help="synthetic datasets (default; no-egress environment) or "
+                   "real datasets from DATASET_LOC")
+def main(exp_directory, model, dataset, num_samples, check, check_epochs,
+         use_default_hparams, hparams, egc_num_bases, egc_num_heads,
+         final_runs, aggrs, hidden, seed_base, use_old_code_dataset,
+         pretrained, synthetic):
+    exp_directory = Path(exp_directory).expanduser()
+    exp_directory.mkdir(parents=True, exist_ok=True)
+
+    config = build_config(dataset, model, hidden=hidden, heads=egc_num_heads,
+                          bases=egc_num_bases, aggrs=aggrs,
+                          num_samples=num_samples, synthetic=synthetic)
+
+    if pretrained:
+        model_obj, state, plateau, hp, data = config.restore_trial(
+            exp_directory)
+        print(model_obj)
+        print(hp)
+        print(config.test(model_obj, state, data))
+        return
+
+    if check:
+        res = check_config(config, check_epochs)
+        print({k: res[k] for k in ("best_val", "best_iter", "test")})
+        return
+
+    dump_invocation_state(exp_directory)
+
+    if hparams is not None:
+        best_hparams = ast.literal_eval(hparams)
+        print("Using given hyperparams:", best_hparams)
+    elif use_default_hparams:
+        best_hparams = config.default_hparams()
+        print("Using default hyperparams:", best_hparams)
+    else:
+        if dataset in ("arxiv",):
+            strategy = GridSearchStrategy({"lr": 10, "wd": 2, "dropout": 2})
+        elif dataset in ("mag", "rmag"):
+            strategy = GridSearchStrategy({})
+        else:
+            strategy = RandomSearchStrategy(num_samples)
+        best_hparams = run_search(config, exp_directory, strategy=strategy,
+                                  seed=seed_base)
+        print("Best hparams:", best_hparams)
+
+    train_final_models(config, best_hparams, exp_directory,
+                       override_repeats=final_runs, seed_base=seed_base)
+
+
+if __name__ == "__main__":
+    main()
