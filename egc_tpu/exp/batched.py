@@ -139,6 +139,9 @@ class ZincConfig(BatchedGraphConfig):
         return StopperSpec(patience=20, max_iters=200)
 
     def load_graphs(self):
+        if not self.synthetic:
+            from egc_tpu.data.ondisk import load_zinc
+            return load_zinc()
         return synthetic.synthetic_zinc()
 
     def model(self, hparams):
@@ -223,6 +226,9 @@ class MolConfig(BatchedGraphConfig):
         return Metric("val_metric", "max")
 
     def load_graphs(self):
+        if not self.synthetic:
+            from egc_tpu.data.ondisk import load_ogbg_molhiv
+            return load_ogbg_molhiv()
         return synthetic.synthetic_molhiv()
 
     def model(self, hparams):
@@ -267,6 +273,11 @@ class CodeConfig(BatchedGraphConfig):
         return Metric("val_metric", "max")
 
     def load_graphs(self):
+        if not self.synthetic:
+            from egc_tpu.data.ondisk import load_ogbg_code2
+            d = load_ogbg_code2(num_vocab=self.vocab_size)
+            self.idx2vocab = d["idx2vocab"]
+            return d["splits"]
         return synthetic.synthetic_code(vocab_size=self.vocab_size)
 
     def model(self, hparams):

@@ -37,12 +37,34 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def full_graph_to_device_dict(raw: Dict[str, Any]) -> Dict[str, Any]:
-    """Pad a host full-graph dict to hardware-friendly sizes + split masks."""
+def full_graph_to_device_dict(raw: Dict[str, Any], *,
+                              use_kernel: bool = True) -> Dict[str, Any]:
+    """Pad a host full-graph dict to hardware-friendly sizes + split masks.
+
+    With ``use_kernel`` (default), also precomputes the fused-Pallas kernel
+    plan and global symnorm weights; the graph is padded to the plan's
+    aligned node count so convs can take the fast path directly.
+    """
+    import numpy as _np
+    from egc_tpu.ops.dispatch import build_kernel_plan
+    from egc_tpu.graph.transforms import symnorm_weight as _symw
+
     n = raw["x"].shape[0]
+    plan = None
+    num_nodes_pad = _round_up(n + 1, 8)
+    if use_kernel:
+        plan = build_kernel_plan(raw["senders"], raw["receivers"], n)
+        num_nodes_pad = plan.n_pad
+    # precompute global symnorm weights (transductive cache; also required
+    # by the fused path, which needs them in original edge order)
+    ew, sw = _symw(jnp.asarray(raw["senders"]), jnp.asarray(raw["receivers"]),
+                   n)
     g = Graph.from_coo(raw["x"], raw["senders"], raw["receivers"])
-    g = pad_graph(g, num_nodes=_round_up(n + 1, 8),
+    g = g.replace(edge_weight=_np.asarray(ew),
+                  self_weight=_np.asarray(sw))
+    g = pad_graph(g, num_nodes=num_nodes_pad,
                   num_edges=_round_up(len(raw["senders"]), 128))
+    g = g.replace(kernel_plan=plan)
     npad = g.num_nodes
     y = np.zeros((npad,), np.int32)
     y[:n] = raw["y"]
@@ -173,7 +195,8 @@ class ArxivConfig(FullGraphConfig):
             return synthetic.synthetic_full_graph(
                 num_nodes=4000, avg_degree=12, num_classes=40,
                 num_features=128)
-        raise NotImplementedError("on-disk ogbn-arxiv reader: see data.ondisk")
+        from egc_tpu.data.ondisk import load_ogbn_arxiv
+        return load_ogbn_arxiv()
 
     def model(self, hparams):
         return ArxivNet(conv=self.conv_spec(), hidden_dim=self.hidden,
@@ -217,7 +240,8 @@ class MagConfig(FullGraphConfig):
             return synthetic.synthetic_full_graph(
                 num_nodes=6000, avg_degree=10, num_classes=349,
                 num_features=128)
-        raise NotImplementedError("on-disk ogbn-mag reader: see data.ondisk")
+        from egc_tpu.data.ondisk import load_ogbn_mag_homogeneous
+        return load_ogbn_mag_homogeneous()
 
     def model(self, hparams):
         return MagNet(hidden_dim=self.hidden, num_layers=self.num_layers,

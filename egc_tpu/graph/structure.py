@@ -54,6 +54,8 @@ class Graph:
     # transductive "cached" path; also required for partitioned graphs where
     # local degree != global degree).
     self_weight: Optional[jnp.ndarray] = None  # [N] companion self-loop weight
+    kernel_plan: Optional[Any] = None  # GraphKernelPlan for the fused Pallas
+    # path (static full-graph tasks; see egc_tpu.ops.dispatch)
 
     @property
     def num_nodes(self) -> int:
@@ -148,6 +150,7 @@ def pad_graph(
         edges=pad_rows(g.edges, de),
         edge_weight=pad_rows(g.edge_weight, de),
         self_weight=pad_rows(g.self_weight, dn),
+        kernel_plan=g.kernel_plan,
     )
 
 

@@ -1,0 +1,260 @@
+"""Kernel dispatch: fused Pallas multi-aggregate with a custom VJP.
+
+``fused_multi_aggregate`` is a drop-in replacement for
+``egc_tpu.ops.segment.multi_aggregate`` on graphs that carry a
+``GraphKernelPlan`` (static full-graph tasks). Forward = ONE windowed
+Pallas pass producing all primitives; backward = ONE windowed Pallas pass
+over the transposed graph with packed node-level coefficients (see
+``gather_reduce.windowed_gather_reduce_bwd``). Both replace XLA's
+row-at-a-time gather/scatter loops.
+
+Aggregator assembly (mean/var/std/symnorm/self-terms) happens in plain XLA
+on node-level arrays — cheap, fused, and autodiff'd; the custom VJP wraps
+only the edge-level primitive map.
+
+Tie semantics of the max/min VJP: the full cotangent is routed to EVERY
+edge achieving the extremum (jax.ops.segment_max splits it across ties).
+Identical on coalesced graphs with continuous features — which all the
+supported datasets are; duplicate-edge multigraphs would differ.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from egc_tpu.ops.pallas.gather_reduce import (
+    make_window_plan_np, windowed_gather_reduce, windowed_gather_reduce_bwd,
+)
+from egc_tpu.ops.segment import canonical_aggr
+
+
+@struct.dataclass
+class WindowPlanDev:
+    senders: jnp.ndarray
+    receivers: jnp.ndarray
+    cell_ptr: jnp.ndarray
+    edge_perm: jnp.ndarray          # original edge idx -> plan position
+    r_blocks: int = struct.field(pytree_node=False, default=0)
+    s_blocks: int = struct.field(pytree_node=False, default=0)
+    block_rows: int = struct.field(pytree_node=False, default=0)
+    window_rows: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class GraphKernelPlan:
+    """Static edge layouts for the fused kernels (one per graph)."""
+
+    fwd: WindowPlanDev
+    bwd: WindowPlanDev              # transposed graph
+    deg: jnp.ndarray                # [n_pad] float in-degree (valid edges)
+    n_pad: int = struct.field(pytree_node=False, default=0)
+
+
+def build_kernel_plan(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_nodes: int,
+    *,
+    edge_mask: Optional[np.ndarray] = None,
+    fwd_block_rows: int = 2048,
+    fwd_window_rows: int = 4096,
+    bwd_block_rows: int = 4096,
+    bwd_window_rows: int = 512,
+) -> GraphKernelPlan:
+    """Host-side plan builder (call once per static graph).
+
+    Masked/padded edges may be included as long as they point at padding
+    rows (their contributions land in masked rows, like the XLA path).
+    """
+    align = max(fwd_block_rows, fwd_window_rows, bwd_block_rows,
+                bwd_window_rows)
+    n_pad = ((num_nodes + align - 1) // align) * align
+
+    if edge_mask is not None:
+        senders = senders[edge_mask]
+        receivers = receivers[edge_mask]
+        kept = np.where(edge_mask)[0]
+    else:
+        kept = np.arange(len(senders))
+
+    fplan = make_window_plan_np(senders, receivers, n_pad,
+                                block_rows=fwd_block_rows,
+                                window_rows=fwd_window_rows)
+    bplan = make_window_plan_np(receivers, senders, n_pad,
+                                block_rows=bwd_block_rows,
+                                window_rows=bwd_window_rows)
+    assert fplan["n_pad"] == n_pad and bplan["n_pad"] == n_pad
+
+    deg = np.zeros(n_pad, np.float32)
+    np.add.at(deg, receivers, 1.0)
+
+    def to_dev(p):
+        return WindowPlanDev(
+            senders=jnp.asarray(p["senders"]),
+            receivers=jnp.asarray(p["receivers"]),
+            cell_ptr=jnp.asarray(p["cell_ptr"]),
+            edge_perm=jnp.asarray(kept[p["perm"]].astype(np.int32)),
+            r_blocks=p["R"], s_blocks=p["S"],
+            block_rows=p["block_rows"], window_rows=p["window_rows"])
+
+    return GraphKernelPlan(fwd=to_dev(fplan), bwd=to_dev(bplan),
+                           deg=jnp.asarray(deg), n_pad=n_pad)
+
+
+def fused_multi_aggregate(
+    vals: jnp.ndarray,                 # [n_pad, F], F multiple of 128
+    plan: GraphKernelPlan,
+    aggrs: Sequence[str],
+    *,
+    include_self: bool = False,
+    symnorm_edge_w: Optional[jnp.ndarray] = None,  # [E] ORIGINAL edge order
+    symnorm_self_w: Optional[jnp.ndarray] = None,  # [n_pad]
+) -> jnp.ndarray:
+    """Plan-based fused multi-aggregate: returns [n_pad, A, F].
+
+    Matches ``multi_aggregate`` semantics exactly (empty segments -> 0,
+    min = -max(-x) equivalence, var/std eps, virtual self-loops).
+    """
+    aggrs = tuple(canonical_aggr(a) for a in aggrs)
+    needs = set(aggrs)
+    prims = []
+    if needs & {"sum", "mean", "var", "std"}:
+        prims.append("sum")
+    if "symnorm" in needs:
+        prims.append("wsum")
+    if needs & {"var", "std"}:
+        prims.append("sumsq")
+    if "max" in needs:
+        prims.append("max")
+    if "min" in needs:
+        prims.append("min")
+    prims = tuple(prims)
+
+    ew_f = ew_b = None
+    if "wsum" in prims:
+        if symnorm_edge_w is None:
+            raise ValueError("symnorm requires symnorm_edge_w")
+        ew_f = jnp.take(symnorm_edge_w, plan.fwd.edge_perm)
+        ew_b = jnp.take(symnorm_edge_w, plan.bwd.edge_perm)
+
+    prim_outs = _fused_primitives(plan, prims, ew_f, ew_b)(vals)
+    p = dict(zip(prims, prim_outs))
+
+    # ---- differentiable node-level assembly -----------------------------
+    deg = plan.deg[:, None]
+    outs = []
+    for a in aggrs:
+        if a == "sum":
+            out = p["sum"] + vals if include_self else p["sum"]
+        elif a == "mean":
+            if include_self:
+                out = (p["sum"] + vals) / jnp.maximum(deg + 1.0, 1.0)
+            else:
+                out = p["sum"] / jnp.maximum(deg, 1.0)
+        elif a == "symnorm":
+            out = p["wsum"]
+            if symnorm_self_w is not None:
+                out = out + symnorm_self_w[:, None] * vals
+        elif a in ("var", "std"):
+            if include_self:
+                d = jnp.maximum(deg + 1.0, 1.0)
+                m = (p["sum"] + vals) / d
+                msq = (p["sumsq"] + vals * vals) / d
+            else:
+                d = jnp.maximum(deg, 1.0)
+                m = p["sum"] / d
+                msq = p["sumsq"] / d
+            out = msq - m * m
+            if a == "std":
+                out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
+        elif a == "max":
+            has = deg > 0
+            out = jnp.where(has, p["max"], 0.0)
+            if include_self:
+                out = jnp.maximum(jnp.where(has, p["max"], vals), vals)
+        elif a == "min":
+            has = deg > 0
+            out = jnp.where(has, p["min"], 0.0)
+            if include_self:
+                out = jnp.minimum(jnp.where(has, p["min"], vals), vals)
+        else:  # pragma: no cover
+            raise ValueError(a)
+        outs.append(out)
+    return jnp.stack(outs, axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _fused_primitives_cached(prims: Tuple[str, ...]):
+    """custom_vjp factory keyed by the primitive set (plans/weights are
+    passed as residual-closure via the wrapper below)."""
+
+    def impl(vals, plan, ew_f, ew_b):
+        return windowed_gather_reduce(
+            vals, plan.fwd.senders, plan.fwd.receivers, plan.fwd.cell_ptr,
+            r_blocks=plan.fwd.r_blocks, s_blocks=plan.fwd.s_blocks,
+            block_rows=plan.fwd.block_rows,
+            window_rows=plan.fwd.window_rows,
+            ops=prims, edge_w=ew_f)
+
+    @jax.custom_vjp
+    def f(vals, plan, ew_f, ew_b):
+        return impl(vals, plan, ew_f, ew_b)
+
+    def f_fwd(vals, plan, ew_f, ew_b):
+        outs = impl(vals, plan, ew_f, ew_b)
+        p = dict(zip(prims, outs))
+        residual = (vals, plan, ew_b, p.get("max"), p.get("min"))
+        return outs, residual
+
+    def f_bwd(residual, cts):
+        vals, plan, ew_b, mx, mn = residual
+        ct = dict(zip(prims, cts))
+        segs, cols = [], []
+        if "sum" in ct:
+            segs.append("c_sum")
+            cols.append(ct["sum"])
+        if "wsum" in ct:
+            segs.append("c_wsum")
+            cols.append(ct["wsum"])
+        if "sumsq" in ct:
+            segs.append("c_sumsq2")
+            cols.append(2.0 * ct["sumsq"])
+        if "max" in ct:
+            segs.extend(["mx", "c_max"])
+            cols.extend([mx, ct["max"]])
+        if "min" in ct:
+            segs.extend(["mn", "c_min"])
+            cols.extend([mn, ct["min"]])
+        coeff = jnp.concatenate(cols, axis=1)
+        d_vals = windowed_gather_reduce_bwd(
+            coeff, vals, plan.bwd.senders, plan.bwd.receivers,
+            plan.bwd.cell_ptr, segs=tuple(segs),
+            r_blocks=plan.bwd.r_blocks, s_blocks=plan.bwd.s_blocks,
+            block_rows=plan.bwd.block_rows,
+            window_rows=plan.bwd.window_rows,
+            edge_w=ew_b if "c_wsum" in segs else None)
+        # plan / edge-weight args are graph constants: zero cotangents
+        # (float0 for integer leaves, per the custom_vjp contract).
+        def zero_ct(x):
+            if x is None:
+                return None
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return jnp.zeros_like(x)
+            return np.zeros(x.shape, jax.dtypes.float0)
+
+        return (d_vals, jax.tree.map(zero_ct, plan), zero_ct(ew_b),
+                zero_ct(ew_b))
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _fused_primitives(plan, prims, ew_f, ew_b):
+    fn = _fused_primitives_cached(tuple(prims))
+    return lambda vals: fn(vals, plan, ew_f, ew_b)

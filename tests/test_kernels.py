@@ -1,0 +1,113 @@
+"""Pallas kernel parity tests (interpret mode on CPU).
+
+Gates: the fused windowed kernels must match the XLA segment path for
+values AND gradients (custom VJP) across aggregator sets.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import jax.experimental.pallas as pl
+import egc_tpu.ops.pallas.gather_reduce as gr
+from egc_tpu.ops.segment import multi_aggregate
+from egc_tpu.ops.dispatch import build_kernel_plan, fused_multi_aggregate
+from egc_tpu.graph.transforms import symnorm_weight
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gr.pl, "pallas_call", patched)
+
+
+def small_graph(seed=0, n=300, e=1500, f=128):
+    rng = np.random.default_rng(seed)
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    # deduplicate: on multigraphs the kernel's max/min VJP routes the full
+    # cotangent to every duplicate achieving edge while JAX splits it; all
+    # real datasets are coalesced (see dispatch.py docstring)
+    from egc_tpu.graph.transforms import coalesce_np
+    senders, receivers, _ = coalesce_np(senders, receivers, n)
+    vals = rng.normal(size=(n, f)).astype(np.float32)
+    return vals, senders, receivers
+
+
+def plan_small(senders, receivers, n):
+    return build_kernel_plan(
+        senders, receivers, n,
+        fwd_block_rows=128, fwd_window_rows=256,
+        bwd_block_rows=256, bwd_window_rows=128)
+
+
+@pytest.mark.parametrize("aggrs,include_self", [
+    (("sum", "mean", "max", "min"), False),
+    (("sum", "mean", "max", "min", "var", "std"), True),
+    (("symnorm", "max", "mean"), False),
+])
+def test_fused_matches_xla_values_and_grads(aggrs, include_self):
+    vals, senders, receivers = small_graph()
+    n = vals.shape[0]
+    plan = plan_small(senders, receivers, n)
+    vpad = np.zeros((plan.n_pad, vals.shape[1]), np.float32)
+    vpad[:n] = vals
+
+    ew = sw = None
+    ew_pad = sw_pad = None
+    if "symnorm" in aggrs:
+        ew, sw = symnorm_weight(jnp.asarray(senders), jnp.asarray(receivers),
+                                n)
+        sw_pad = jnp.zeros(plan.n_pad).at[:n].set(sw)
+        ew_pad = ew
+
+    def xla_fn(v):
+        out = multi_aggregate(v[:n], jnp.asarray(senders),
+                              jnp.asarray(receivers), aggrs,
+                              include_self=include_self,
+                              symnorm_edge_w=ew, symnorm_self_w=sw)
+        return out
+
+    def fused_fn(v):
+        return fused_multi_aggregate(v, plan, aggrs,
+                                     include_self=include_self,
+                                     symnorm_edge_w=ew_pad,
+                                     symnorm_self_w=sw_pad)
+
+    vj = jnp.asarray(vpad)
+    ref = np.asarray(xla_fn(vj))
+    got = np.asarray(fused_fn(vj))[:n]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+    # gradient parity through a random projection loss
+    rng = np.random.default_rng(1)
+    proj = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+
+    g_ref = jax.grad(lambda v: jnp.sum(xla_fn(v) * proj))(vj)
+    g_got = jax.grad(
+        lambda v: jnp.sum(fused_fn(v)[:n] * proj))(vj)
+    np.testing.assert_allclose(np.asarray(g_got)[:n], np.asarray(g_ref)[:n],
+                               rtol=1e-3, atol=1e-3)
+    # padding rows get no gradient
+    assert np.abs(np.asarray(g_got)[n:]).max() == 0.0
+
+
+def test_plan_respects_edge_mask():
+    vals, senders, receivers = small_graph(seed=2, n=200, e=800)
+    n = vals.shape[0]
+    mask = np.random.default_rng(3).random(len(senders)) > 0.3
+    plan = build_kernel_plan(senders, receivers, n, edge_mask=mask,
+                            fwd_block_rows=128, fwd_window_rows=256,
+                            bwd_block_rows=256, bwd_window_rows=128)
+    vpad = jnp.zeros((plan.n_pad, vals.shape[1])).at[:n].set(vals)
+    got = np.asarray(fused_multi_aggregate(vpad, plan, ("sum",)))[:n, 0]
+    ref = np.asarray(multi_aggregate(
+        jnp.asarray(vals), jnp.asarray(senders), jnp.asarray(receivers),
+        ["sum"], edge_mask=jnp.asarray(mask)))[:, 0]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
