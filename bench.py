@@ -103,16 +103,21 @@ def main():
     dt = (time.time() - t0) / args.steps
     edges_per_s = num_edges / dt
 
-    # Roofline speed-of-light (memory-bound): per edge per conv layer the
-    # fused multi-aggregate must move the gathered bases row (B*L floats)
-    # once in fwd and ~2x in bwd (cotangent gather + max-path recompute);
-    # node-side matmuls and pooled ops are second-order at arxiv scale.
+    # Speed-of-light model: random-row gather/scatter over a graph is
+    # LOOP-bound on TPU, not bandwidth-bound — each edge needs a dynamic
+    # [1, F] VMEM read + accumulate (~8 cycles steady-state in the fused
+    # Pallas kernel). Per training step the edge sweep runs once forward
+    # and once backward per conv layer. The bandwidth roofline
+    # (bytes-per-edge at full HBM speed) is reported alongside for context.
     kind = dev.device_kind.lower()
+    clock_ghz = 0.94 if ("v5 lite" in kind or "v5e" in kind) else 1.05
     hbm_gbps = 819.0 if ("v5 lite" in kind or "v5e" in kind) else \
         1640.0 if "v4" in kind else 2765.0 if "v5p" in kind else 819.0
+    cycles_per_edge_pass = 8.0
+    passes = 2 * num_layers            # fwd + bwd edge sweep per layer
+    sol_edges_per_s = clock_ghz * 1e9 / (cycles_per_edge_pass * passes)
     bl = bases * (hidden // heads)
-    bytes_per_edge = num_layers * bl * 4 * 3
-    sol_edges_per_s = hbm_gbps * 1e9 / bytes_per_edge
+    bw_sol_edges_per_s = hbm_gbps * 1e9 / (num_layers * bl * 4 * 3)
     vs = edges_per_s / sol_edges_per_s
 
     print(json.dumps({
@@ -124,6 +129,7 @@ def main():
         "num_edges": num_edges,
         "device": dev.device_kind,
         "sol_edges_per_s": round(sol_edges_per_s, 1),
+        "bandwidth_sol_edges_per_s": round(bw_sol_edges_per_s, 1),
     }), flush=True)
 
 
