@@ -91,7 +91,8 @@ def synthetic_molhiv(num_graphs=1200, seed=0) -> Dict[str, List[dict]]:
             [rng.integers(0, d, n) for d in ATOM_FEATURE_DIMS], axis=1
         ).astype(np.int32)
         _, s, r = _random_molecule(rng, n, 2)
-        score = (feats.mean(0) / np.asarray(ATOM_FEATURE_DIMS)) @ w
+        # centered score => balanced labels across the dataset
+        score = ((feats.mean(0) / np.asarray(ATOM_FEATURE_DIMS)) - 0.5) @ w
         label = int(score > 0.0)
         graphs.append({
             "nodes": feats, "senders": s, "receivers": r,

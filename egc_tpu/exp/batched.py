@@ -23,7 +23,9 @@ from egc_tpu.data import synthetic
 from egc_tpu.exp.config import (
     ExperimentConfig, ExperimentSettings, Metric, StopperSpec,
 )
-from egc_tpu.exp.hyperparams import ChoiceHyperParam, LogUniformHyperParam
+from egc_tpu.exp.hyperparams import (
+    ChoiceHyperParam, LogUniformHyperParam, UniformHyperParam,
+)
 from egc_tpu.models.nets import (
     ConvSpec, ZincNet, CifarNet, HIVNet, CodeNet,
 )
@@ -188,7 +190,8 @@ class CifarConfig(BatchedGraphConfig):
 
     def hyperparams(self):
         hp = super().hyperparams()
-        hp["dropout"] = ChoiceHyperParam([0.0, 0.2, 0.5], default=0.0)
+        # reference cifar/configs.py:145
+        hp["dropout"] = UniformHyperParam(0.0, 0.5, default=0.0)
         return hp
 
     def loss_fn(self, out, y, graph):
@@ -225,6 +228,15 @@ class MolConfig(BatchedGraphConfig):
     def trial_metric(self):
         return Metric("val_metric", "max")
 
+    def hyperparams(self):
+        # reference mol/configs.py:162-167
+        return {
+            "lr": LogUniformHyperParam(0.0001, 0.01, default=0.001),
+            "batch_size": ChoiceHyperParam([32, 64], default=32),
+            "wd": LogUniformHyperParam(0.0001, 0.001, default=0.0005),
+            "dropout": UniformHyperParam(0.0, 0.2, default=0.2),
+        }
+
     def load_graphs(self):
         if not self.synthetic:
             from egc_tpu.data.ondisk import load_ogbg_molhiv
@@ -232,8 +244,10 @@ class MolConfig(BatchedGraphConfig):
         return synthetic.synthetic_molhiv()
 
     def model(self, hparams):
+        # dropout hparam feeds in_feat_drop (reference mol/configs.py:249)
         return HIVNet(conv=self.conv, hidden_dim=self.hidden,
-                      num_layers=self.num_layers, in_feat_drop=0.0,
+                      num_layers=self.num_layers,
+                      in_feat_drop=float(hparams.get("dropout", 0.2)),
                       residual=True, readout=self.readout)
 
     def loss_fn(self, out, y, graph):

@@ -123,6 +123,16 @@ class ExperimentConfig:
                                             state_template=template)
         return model, state, plateau, hparams, data
 
+    def final_runs_summaries(self):
+        """Summary objects applied after final repeats (reference
+        zinc/configs.py:182-186)."""
+        from egc_tpu.exp.summaries import TrialCurvePlotter, \
+            TestMetricSummaries
+        metric = self.trial_metric()
+        return [TrialCurvePlotter(["train_loss", metric.name],
+                                  name="curves"),
+                TestMetricSummaries()]
+
     # ---- seeding ---------------------------------------------------------
     def configure_seeds(self, seed: int):
         np.random.seed(seed)

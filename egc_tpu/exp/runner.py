@@ -118,12 +118,14 @@ def train_final_models(
     repeats = override_repeats or settings.final_repeats
     exp_dir = Path(exp_dir)
     results = []
+    histories = []
     for rep in range(repeats):
         trial_dir = exp_dir / "final" / f"run_{rep}"
         trial_dir.mkdir(parents=True, exist_ok=True)
         res = run_trial(config, hparams, seed=seed_base + rep,
                         trial_dir=trial_dir, verbose=verbose)
         results.append({k: res[k] for k in ("best_val", "best_iter", "test")})
+        histories.append(res["history"])
 
     summary: Dict[str, Any] = {"hparams": hparams, "repeats": repeats}
     test_keys = results[0]["test"].keys()
@@ -134,6 +136,13 @@ def train_final_models(
                       "values": vals.tolist()}
     (exp_dir / "final_summary.json").write_text(
         json.dumps(summary, indent=2, default=float))
+    # curve plots + test-metric summaries (exptune-style hooks)
+    from egc_tpu.exp.summaries import TrialCurvePlotter, TestMetricSummaries
+    for summarizer in config.final_runs_summaries():
+        if isinstance(summarizer, TrialCurvePlotter):
+            summarizer(histories, exp_dir)
+        elif isinstance(summarizer, TestMetricSummaries):
+            summarizer([r["test"] for r in results], exp_dir)
     if verbose:
         print(json.dumps({k: v for k, v in summary.items()
                           if k != "hparams"}, indent=2, default=float))

@@ -73,7 +73,7 @@ class AsyncHyperBandPruner:
         if len(rung) < self.reduction:
             return False
         cutoff = np.quantile(rung, 1.0 / self.reduction)
-        return s > cutoff
+        return bool(s > cutoff)
 
 
 def run_search(

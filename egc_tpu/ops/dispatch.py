@@ -74,7 +74,8 @@ def build_kernel_plan(
     """
     align = max(fwd_block_rows, fwd_window_rows, bwd_block_rows,
                 bwd_window_rows)
-    n_pad = ((num_nodes + align - 1) // align) * align
+    # always reserve at least one padding row (padded edges need a target)
+    n_pad = ((num_nodes + align) // align) * align
 
     if edge_mask is not None:
         senders = senders[edge_mask]

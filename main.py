@@ -158,6 +158,9 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
     else:
         if dataset in ("arxiv",):
             strategy = GridSearchStrategy({"lr": 10, "wd": 2, "dropout": 2})
+        elif dataset == "hiv":
+            # reference mol/configs.py:126
+            strategy = GridSearchStrategy({"lr": 5, "wd": 2, "dropout": 2})
         elif dataset in ("mag", "rmag"):
             strategy = GridSearchStrategy({})
         else:

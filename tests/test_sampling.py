@@ -1,0 +1,78 @@
+"""Neighbor-sampling loader tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egc_tpu.data import synthetic
+from egc_tpu.data.sampling import NeighborSampler, SampledNodeLoader
+from egc_tpu.models.nets import ConvSpec, ArxivNet
+
+
+def test_sampler_invariants():
+    raw = synthetic.synthetic_full_graph(num_nodes=500, avg_degree=8,
+                                         num_classes=5, num_features=8)
+    n = raw["x"].shape[0]
+    sampler = NeighborSampler(raw["senders"], raw["receivers"], n,
+                              fanouts=(5, 3))
+    seeds = raw["train_idx"][:16]
+    gids, s, r, n_seed = sampler.sample(seeds)
+    assert n_seed == 16 and (gids[:16] == seeds).all()
+    # every sampled edge is a real edge (u -> v in the original graph)
+    real = set(zip(raw["senders"].tolist(), raw["receivers"].tolist()))
+    for j in range(len(s)):
+        assert (int(gids[s[j]]), int(gids[r[j]])) in real
+    # fanout respected: each receiver gets at most fanout in-edges per hop
+    nb, eb = sampler.budgets(16)
+    assert len(gids) <= nb and len(s) <= eb
+
+
+def test_sampled_training_learns():
+    raw = synthetic.synthetic_full_graph(num_nodes=600, avg_degree=10,
+                                         num_classes=5, num_features=16,
+                                         seed=2)
+    n = raw["x"].shape[0]
+    sampler = NeighborSampler(raw["senders"], raw["receivers"], n,
+                              fanouts=(8, 4))
+    loader = SampledNodeLoader(sampler, raw["x"], raw["y"],
+                               raw["train_idx"], batch_size=32)
+
+    import optax
+    from egc_tpu.train.state import TrainState
+    net = ArxivNet(conv=ConvSpec(kind="egc", heads=2, bases=2,
+                                 aggrs=("symnorm", "mean")),
+                   hidden_dim=32, num_layers=2, dropout=0.0, residual=True,
+                   num_features=16, num_classes=5)
+    g0, y0, m0 = next(iter(loader))
+    g0j = jax.tree.map(jnp.asarray, g0)
+    variables = net.init(jax.random.key(0), g0j, train=False)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"],
+                              tx=optax.adam(5e-3))
+
+    import functools
+
+    @jax.jit
+    def step(state, g, y, m):
+        def loss_fn(params):
+            out, mut = net.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                g, train=True, rngs={"dropout": jax.random.key(0)},
+                mutable=["batch_stats"])
+            nll = -jnp.take_along_axis(out, y[:, None], axis=1).reshape(-1)
+            mm = m.astype(out.dtype)
+            return jnp.sum(nll * mm) / jnp.sum(mm), mut["batch_stats"]
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        return state.apply_gradients(grads, new_batch_stats=bs), loss
+
+    losses = []
+    for epoch in range(6):
+        tot, cnt = 0.0, 0
+        for g, y, m in loader:
+            g = jax.tree.map(jnp.asarray, g)
+            state, loss = step(state, g, jnp.asarray(y), jnp.asarray(m))
+            tot += float(loss)
+            cnt += 1
+        losses.append(tot / cnt)
+    assert losses[-1] < 0.7 * losses[0], losses

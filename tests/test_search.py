@@ -1,0 +1,69 @@
+"""Search strategies, pruner, and parallel trial runner tests."""
+
+import numpy as np
+
+from egc_tpu.data import synthetic
+from egc_tpu.exp.batched import ZincConfig
+from egc_tpu.exp.hyperparams import (
+    ChoiceHyperParam, LogUniformHyperParam, UniformHyperParam,
+)
+from egc_tpu.exp.search import (
+    RandomSearchStrategy, GridSearchStrategy, AsyncHyperBandPruner,
+    run_search,
+)
+
+
+def tiny_zinc_config():
+    cfg = ZincConfig("egc", hidden=16, heads=2, bases=2, aggrs=("symnorm",),
+                     num_layers=1)
+    cfg.load_graphs = lambda: synthetic.synthetic_zinc(num_graphs=80)
+    return cfg
+
+
+def test_strategies_generate():
+    space = {
+        "lr": LogUniformHyperParam(1e-4, 1e-2, default=1e-3),
+        "bs": ChoiceHyperParam([32, 64]),
+        "u": UniformHyperParam(0.0, 1.0),
+    }
+    rng = np.random.default_rng(0)
+    rand = RandomSearchStrategy(7).generate(space, rng)
+    assert len(rand) == 7
+    assert all(1e-4 <= hp["lr"] <= 1e-2 for hp in rand)
+    grid = GridSearchStrategy({"lr": 3, "bs": 2}).generate(space, rng)
+    assert len(grid) == 6  # 3 lr x 2 bs x 1 default u
+    assert all(hp["u"] == 0.5 for hp in grid)
+
+
+def test_pruner_prunes_bad_trials():
+    pruner = AsyncHyperBandPruner("min", grace_period=5, reduction_factor=2,
+                                  max_t=40)
+    # good trials at the rung, then a bad one
+    for v in (0.1, 0.2, 0.3):
+        pruner(5, v)
+    assert pruner(5, 5.0) is True       # clearly below the median cutoff
+    assert pruner(3, 5.0) is False      # not a rung iteration
+
+
+def test_run_search_small(tmp_path):
+    cfg = tiny_zinc_config()
+    best = run_search(cfg, tmp_path, strategy=RandomSearchStrategy(2),
+                      use_pruner=False, verbose=False)
+    assert "lr" in best
+    assert (tmp_path / "search_results.json").exists()
+
+
+def _zinc_factory():
+    return tiny_zinc_config()
+
+
+def test_parallel_search(tmp_path):
+    from egc_tpu.exp.parallel_search import run_search_parallel
+    candidates = [{"lr": 1e-3, "batch_size": 32, "wd": 0.0},
+                  {"lr": 5.0, "batch_size": 32, "wd": 0.0}]  # 2nd diverges
+    best = run_search_parallel(
+        ("tests.test_search", "_zinc_factory", (), {}),
+        candidates, metric_mode="min", metric_name="val_loss",
+        num_workers=2, exp_dir=tmp_path, max_iterations=3)
+    assert best["lr"] == 1e-3
+    assert (tmp_path / "search_results.json").exists()
