@@ -29,6 +29,7 @@ def main():
                     help="tiny shapes for a quick smoke run")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--hidden", type=int, default=128)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +61,7 @@ def main():
                     aggrs=("symnorm", "max", "mean"))
     net = ArxivNet(conv=conv, hidden_dim=hidden, num_layers=num_layers,
                    dropout=0.0, residual=True, num_features=128,
-                   num_classes=40)
+                   num_classes=40, remat=args.remat)
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.key(0), d["graph"], train=False)
     state = TrainState.create(params=variables["params"],

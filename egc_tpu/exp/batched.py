@@ -275,9 +275,13 @@ class CodeConfig(BatchedGraphConfig):
 
     name = "code"
 
-    def __init__(self, *args, vocab_size: int = 120, **kwargs):
+    def __init__(self, *args, vocab_size: int = 120,
+                 use_old_code_dataset: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.vocab_size = vocab_size
+        # old ogbg-code has 10003 node attributes vs code2's 10030
+        # (reference code/utils.py:14-15)
+        self.use_old_code_dataset = use_old_code_dataset
 
     def settings(self):
         return ExperimentSettings("code", final_repeats=10,
@@ -295,10 +299,12 @@ class CodeConfig(BatchedGraphConfig):
         return synthetic.synthetic_code(vocab_size=self.vocab_size)
 
     def model(self, hparams):
+        n_attr = 500 if self.synthetic else \
+            (10003 if self.use_old_code_dataset else 10030)
         return CodeNet(conv=self.conv, hidden_dim=self.hidden,
                        num_layers=self.num_layers, in_feat_drop=0.0,
                        residual=True, readout=self.readout,
-                       vocab_size=self.vocab_size, num_nodeattributes=500)
+                       vocab_size=self.vocab_size, num_nodeattributes=n_attr)
 
     def loss_fn(self, out, y, graph):
         # out: [G, S, V]; y: [G, S]. Mean CE over the S independent heads
@@ -309,9 +315,20 @@ class CodeConfig(BatchedGraphConfig):
     def eval_metrics(self, collected, split):
         preds, refs = [], []
         eos = self.vocab_size + 1
+
+        def cut(seq):
+            # cut at the FIRST __EOS__ (reference decode_arr_to_seq,
+            # code/utils.py:19-28)
+            out = []
+            for t in seq:
+                if t == eos:
+                    break
+                out.append(int(t))
+            return out
+
         for out, y, mask in collected:
             tok = np.asarray(out).argmax(-1)        # [G, S]
             for i in np.where(mask)[0]:
-                preds.append([t for t in tok[i] if t != eos])
-                refs.append([t for t in y[i] if t != eos])
+                preds.append(cut(tok[i]))
+                refs.append(cut(y[i]))
         return {f"{split}_metric": sequence_f1(preds, refs)}

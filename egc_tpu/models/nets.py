@@ -202,6 +202,8 @@ class ArxivNet(nn.Module):
     dropout: float = 0.5
     residual: bool = True
     bn_axis: str = None
+    remat: bool = False               # rematerialize conv blocks (trade
+    # recompute for activation memory; needed for wide EGC-M at arxiv scale)
     num_features: int = 128           # reference arxiv/norm_models.py:10
     num_classes: int = 40
 
@@ -211,8 +213,12 @@ class ArxivNet(nn.Module):
             g.nodes)
         for i in range(self.num_layers):
             identity = x
-            x = self.conv.build(self.hidden_dim, i, self.num_layers)(
-                g, x, train=train)
+            conv_mod = self.conv.build(self.hidden_dim, i, self.num_layers)
+            if self.remat:
+                x = nn.remat(
+                    lambda m, g_, x_: m(g_, x_, train=train))(conv_mod, g, x)
+            else:
+                x = conv_mod(g, x, train=train)
             x = MaskedBatchNorm(axis_name=self.bn_axis)(x, g.node_mask,
                                   use_running_average=not train)
             x = nn.relu(x)
@@ -281,6 +287,7 @@ class MagNet(nn.Module):
     heads: int = 8
     bases: int = 4
     aggrs: Tuple[str, ...] = ("symnorm",)
+    remat: bool = False
     out_rounded: int = 352
     out_true: int = 349
 
@@ -290,9 +297,14 @@ class MagNet(nn.Module):
         for i in range(self.num_layers):
             out = self.hidden_dim if i < self.num_layers - 1 else \
                 self.out_rounded
-            x = EGConv(out, num_heads=self.heads, num_bases=self.bases,
-                       aggrs=tuple(self.aggrs), self_loop_mode="all")(
-                g, x, train=train)
+            conv_mod = EGConv(out, num_heads=self.heads,
+                              num_bases=self.bases,
+                              aggrs=tuple(self.aggrs), self_loop_mode="all")
+            if self.remat:
+                x = nn.remat(
+                    lambda m, g_, x_: m(g_, x_, train=train))(conv_mod, g, x)
+            else:
+                x = conv_mod(g, x, train=train)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)

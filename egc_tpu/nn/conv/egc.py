@@ -97,24 +97,11 @@ class EGConv(nn.Module):
                     add_self_loops=self.add_self_loops, dtype=jnp.float32)
 
         include_self = self.self_loop_mode == "all" and self.add_self_loops
-        # Fused Pallas path: static graphs carrying a kernel plan with an
-        # MXU/lane-aligned basis width take one windowed kernel pass for all
-        # aggregators (custom VJP; see egc_tpu.ops.dispatch).
-        plan = g.kernel_plan
-        if (plan is not None and (B * L) % 128 == 0
-                and n == getattr(plan, "n_pad", -1)
-                and jax.default_backend() == "tpu"):
-            from egc_tpu.ops.dispatch import fused_multi_aggregate
-            y = fused_multi_aggregate(
-                bases, plan, aggrs, include_self=include_self,
-                symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw)
-        else:
-            y = multi_aggregate(
-                bases, g.senders, g.receivers, aggrs,
-                edge_mask=g.edge_mask, include_self=include_self,
-                symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw,
-                indices_are_sorted=True,
-            )                                 # [N, A, B*L]
+        # conv_aggregate dispatches to the fused Pallas kernels on TPU when
+        # the graph carries a kernel plan and B*L is lane-aligned.
+        from egc_tpu.ops.dispatch import conv_aggregate
+        y = conv_aggregate(g, bases, aggrs, include_self=include_self,
+                           symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw)
         y = y.reshape(n, A, B, L)
 
         # Head mixing: one batched contraction on the MXU.

@@ -37,11 +37,9 @@ class GCNConv(nn.Module):
                                     edge_mask=g.edge_mask,
                                     add_self_loops=self.add_self_loops,
                                     dtype=jnp.float32)
-        msg = jnp.take(h, g.senders, axis=0) * ew[:, None].astype(h.dtype)
-        out = segment_sum(msg, g.receivers, n, mask=g.edge_mask,
-                          indices_are_sorted=True)
-        if sw is not None:
-            out = out + sw[:, None].astype(h.dtype) * h
+        from egc_tpu.ops.dispatch import conv_aggregate
+        out = conv_aggregate(g, h, ("symnorm",), symnorm_edge_w=ew,
+                             symnorm_self_w=sw)[:, 0]
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros,
                                    (self.out_channels,), jnp.float32)
@@ -59,8 +57,8 @@ class GINConv(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, x, *, train: bool = False):
         n = x.shape[0]
-        agg = segment_sum(jnp.take(x, g.senders, axis=0), g.receivers, n,
-                          mask=g.edge_mask, indices_are_sorted=True)
+        from egc_tpu.ops.dispatch import conv_aggregate
+        agg = conv_aggregate(g, x, ("sum",))[:, 0]
         if self.train_eps:
             eps = self.param("eps", lambda k, s: jnp.full(s, self.eps), ())
         else:
@@ -78,8 +76,8 @@ class SAGEConv(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, x, *, train: bool = False):
         n = x.shape[0]
-        agg = segment_mean(jnp.take(x, g.senders, axis=0), g.receivers, n,
-                           mask=g.edge_mask, indices_are_sorted=True)
+        from egc_tpu.ops.dispatch import conv_aggregate
+        agg = conv_aggregate(g, x, ("mean",))[:, 0]
         fan_in = x.shape[-1]
         out = nn.Dense(self.out_channels, use_bias=self.use_bias,
                        kernel_init=einit.torch_linear_kernel,

@@ -259,3 +259,27 @@ def _fused_primitives_cached(prims: Tuple[str, ...]):
 def _fused_primitives(plan, prims, ew_f, ew_b):
     fn = _fused_primitives_cached(tuple(prims))
     return lambda vals: fn(vals, plan, ew_f, ew_b)
+
+
+def conv_aggregate(g, x, aggrs, *, include_self: bool = False,
+                   symnorm_edge_w=None, symnorm_self_w=None):
+    """Unified aggregation entry point for conv layers: dispatches to the
+    fused Pallas path when the graph carries a kernel plan, the feature
+    width is lane-aligned, and we are on TPU; otherwise the XLA segment
+    path. Returns [N, A, F] in the order of ``aggrs``."""
+    import jax as _jax
+
+    from egc_tpu.ops.segment import multi_aggregate
+
+    plan = getattr(g, "kernel_plan", None)
+    n, f = x.shape
+    if (plan is not None and f % 128 == 0
+            and n == getattr(plan, "n_pad", -1)
+            and _jax.default_backend() == "tpu"):
+        return fused_multi_aggregate(
+            x, plan, aggrs, include_self=include_self,
+            symnorm_edge_w=symnorm_edge_w, symnorm_self_w=symnorm_self_w)
+    return multi_aggregate(
+        x, g.senders, g.receivers, aggrs, edge_mask=g.edge_mask,
+        include_self=include_self, symnorm_edge_w=symnorm_edge_w,
+        symnorm_self_w=symnorm_self_w, indices_are_sorted=True)

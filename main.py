@@ -63,7 +63,7 @@ def _conv_kwargs(model, heads, bases, aggrs):
 
 
 def build_config(dataset, model, *, hidden, heads, bases, aggrs,
-                 num_samples, synthetic=True):
+                 num_samples, synthetic=True, use_old_code_dataset=False):
     if model not in SUPPORTED[dataset]:
         raise click.UsageError(
             f"{model!r} not supported for {dataset!r} "
@@ -78,7 +78,8 @@ def build_config(dataset, model, *, hidden, heads, bases, aggrs,
     elif dataset == "hiv":
         cfg = MolConfig(model, hidden, **kw)
     elif dataset == "code":
-        cfg = CodeConfig(model, hidden, **kw)
+        cfg = CodeConfig(model, hidden,
+                         use_old_code_dataset=use_old_code_dataset, **kw)
     elif dataset == "arxiv":
         cfg = ArxivConfig(model, hidden, heads=heads or 8, bases=bases or 8,
                           aggrs=tuple(aggrs.split(",")) if aggrs else None,
@@ -132,7 +133,8 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
 
     config = build_config(dataset, model, hidden=hidden, heads=egc_num_heads,
                           bases=egc_num_bases, aggrs=aggrs,
-                          num_samples=num_samples, synthetic=synthetic)
+                          num_samples=num_samples, synthetic=synthetic,
+                          use_old_code_dataset=use_old_code_dataset)
 
     if pretrained:
         model_obj, state, plateau, hp, data = config.restore_trial(
