@@ -248,3 +248,104 @@ class MagConfig(FullGraphConfig):
                       dropout=float(hparams.get("dropout", 0.5)),
                       heads=self.heads, bases=self.bases,
                       aggrs=self.aggrs or ("symnorm",))
+
+
+class PartitionedArxivConfig(ArxivConfig):
+    """Arxiv trained across a ``graph`` mesh axis: nodes partitioned with
+    halo exchange per layer (egc_tpu.parallel.halo). Same hook surface as
+    ArxivConfig; requires ``partitions`` devices. Numerics equal the
+    single-device config exactly (sync-BN + global symnorm weights +
+    psum'd loss; see tests/test_partition.py)."""
+
+    def __init__(self, *args, partitions: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        import jax as _jax
+
+        self.partitions = partitions or _jax.device_count()
+        self._mesh = None
+        self._pstep = None
+
+    def data(self, hparams):
+        import jax as _jax
+        from egc_tpu.graph.transforms import symnorm_weight
+        from egc_tpu.parallel import make_mesh, partition_graph
+
+        raw = self.load_full_graph()
+        n = raw["x"].shape[0]
+        self._avg_log_deg = 1.0
+        ew, sw = symnorm_weight(jnp.asarray(raw["senders"]),
+                                jnp.asarray(raw["receivers"]), n)
+        plan = partition_graph(raw["senders"], raw["receivers"], n,
+                               self.partitions, method="bfs",
+                               sym_edge_w=np.asarray(ew),
+                               sym_self_w=np.asarray(sw))
+        x_ext = np.zeros((self.partitions, plan.n_ext, raw["x"].shape[1]),
+                         np.float32)
+        x_ext[:, :plan.n_local] = plan.scatter_nodes(raw["x"])
+        masks = {}
+        for split in ("train", "val", "test"):
+            m = np.zeros(n, bool)
+            m[raw[f"{split}_idx"]] = True
+            masks[split] = jnp.asarray(plan.scatter_nodes(m))
+        self._mesh = make_mesh({"graph": self.partitions})
+        return {
+            "plan": plan,
+            "graph": jax.tree.map(jnp.asarray, plan.extended_graph(x_ext)),
+            "send_idx": jnp.asarray(plan.send_idx),
+            "y": jnp.asarray(plan.scatter_nodes(raw["y"])),
+            "masks": masks,
+            "num_classes": raw["num_classes"],
+            "num_features": raw["x"].shape[1],
+        }
+
+    def model(self, hparams):
+        from egc_tpu.parallel import DistributedNodeClassifier
+
+        data = getattr(self, "_last_pdata", None)
+        nfeat = data["num_features"] if data else 128
+        ncls = data["num_classes"] if data else 40
+        return DistributedNodeClassifier(
+            conv=self.conv_spec(), hidden_dim=self.hidden,
+            num_layers=self.num_layers,
+            dropout=float(hparams.get("dropout", 0.2)), residual=True,
+            num_features=nfeat, num_classes=ncls)
+
+    def init_state(self, model, hparams, data, seed: int) -> TrainState:
+        from egc_tpu.parallel import init_partitioned
+
+        self._last_pdata = data
+        model = self.model(hparams)   # rebuild with data metadata
+        self._model_obj = model
+        variables = init_partitioned(model, self._mesh, data["graph"],
+                                     data["send_idx"], self.rng(seed))
+        return TrainState.create(params=variables["params"],
+                                 batch_stats=variables.get("batch_stats", {}),
+                                 tx=self.optimizer(hparams))
+
+    def train(self, model, state, data, rng, iteration: int):
+        from egc_tpu.parallel import make_partitioned_train_step
+
+        model = getattr(self, "_model_obj", model)
+        if self._pstep is None:
+            self._pstep = make_partitioned_train_step(model, self._mesh)
+        state, loss = self._pstep(
+            state, data["graph"], data["send_idx"], data["y"],
+            data["masks"]["train"], jax.random.fold_in(rng, iteration))
+        return state, {"train_loss": float(loss)}
+
+    def val(self, model, state, data):
+        from egc_tpu.parallel import make_partitioned_eval_step
+
+        model = getattr(self, "_model_obj", model)
+        if self._eval_step is None:
+            self._eval_step = make_partitioned_eval_step(model, self._mesh)
+        out = self._eval_step(state, data["graph"], data["send_idx"])
+        plan = data["plan"]
+        pred = jnp.argmax(out[:, :plan.n_local], axis=-1)
+        metrics = {}
+        for split, key in (("train", "train_acc"), ("val", "val_acc"),
+                           ("test", "test_acc")):
+            m = data["masks"][split]
+            correct = jnp.sum((pred == data["y"]) & m)
+            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
+        return metrics

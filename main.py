@@ -63,7 +63,8 @@ def _conv_kwargs(model, heads, bases, aggrs):
 
 
 def build_config(dataset, model, *, hidden, heads, bases, aggrs,
-                 num_samples, synthetic=True, use_old_code_dataset=False):
+                 num_samples, synthetic=True, use_old_code_dataset=False,
+                 partitions=0):
     if model not in SUPPORTED[dataset]:
         raise click.UsageError(
             f"{model!r} not supported for {dataset!r} "
@@ -81,9 +82,18 @@ def build_config(dataset, model, *, hidden, heads, bases, aggrs,
         cfg = CodeConfig(model, hidden,
                          use_old_code_dataset=use_old_code_dataset, **kw)
     elif dataset == "arxiv":
-        cfg = ArxivConfig(model, hidden, heads=heads or 8, bases=bases or 8,
-                          aggrs=tuple(aggrs.split(",")) if aggrs else None,
-                          gat_version=2 if model == "gatv2" else 1)
+        if partitions:
+            from egc_tpu.exp.fullgraph import PartitionedArxivConfig
+            cfg = PartitionedArxivConfig(
+                model, hidden, heads=heads or 8, bases=bases or 8,
+                aggrs=tuple(aggrs.split(",")) if aggrs else None,
+                gat_version=2 if model == "gatv2" else 1,
+                partitions=partitions)
+        else:
+            cfg = ArxivConfig(model, hidden, heads=heads or 8,
+                              bases=bases or 8,
+                              aggrs=tuple(aggrs.split(",")) if aggrs else None,
+                              gat_version=2 if model == "gatv2" else 1)
     elif dataset == "mag":
         cfg = MagConfig(model, hidden, heads=heads or 8, bases=bases or 4,
                         aggrs=tuple(aggrs.split(",")) if aggrs else
@@ -121,20 +131,24 @@ def dump_invocation_state(exp_dir: Path):
 @click.option("--seed-base", type=int, default=0)
 @click.option("--use-old-code-dataset", is_flag=True)
 @click.option("--pretrained", is_flag=True)
+@click.option("--partitions", type=int, default=0,
+              help="graph-partitioned training across N devices "
+                   "(full-graph tasks; halo exchange over the mesh)")
 @click.option("--synthetic/--real", default=True,
               help="synthetic datasets (default; no-egress environment) or "
                    "real datasets from DATASET_LOC")
 def main(exp_directory, model, dataset, num_samples, check, check_epochs,
          use_default_hparams, hparams, egc_num_bases, egc_num_heads,
          final_runs, aggrs, hidden, seed_base, use_old_code_dataset,
-         pretrained, synthetic):
+         pretrained, partitions, synthetic):
     exp_directory = Path(exp_directory).expanduser()
     exp_directory.mkdir(parents=True, exist_ok=True)
 
     config = build_config(dataset, model, hidden=hidden, heads=egc_num_heads,
                           bases=egc_num_bases, aggrs=aggrs,
                           num_samples=num_samples, synthetic=synthetic,
-                          use_old_code_dataset=use_old_code_dataset)
+                          use_old_code_dataset=use_old_code_dataset,
+                          partitions=partitions)
 
     if pretrained:
         model_obj, state, plateau, hp, data = config.restore_trial(

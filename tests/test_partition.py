@@ -240,3 +240,20 @@ def test_dp_step_matches_big_batch():
     new_state, loss = step(state, jax.tree.map(jnp.asarray, sg),
                            jnp.asarray(sy), jax.random.key(0))
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4)
+
+
+def test_partitioned_config_end_to_end():
+    """PartitionedArxivConfig trains through the standard runner."""
+    from egc_tpu.exp.fullgraph import PartitionedArxivConfig
+    from egc_tpu.exp.runner import run_trial
+
+    cfg = PartitionedArxivConfig("egc", hidden=32, heads=4, bases=2,
+                                 aggrs=("symnorm", "mean"),
+                                 partitions=NUM_DEV)
+    cfg.load_full_graph = lambda: synthetic.synthetic_full_graph(
+        num_nodes=600, avg_degree=8, num_classes=6, num_features=16, seed=9)
+    hp = {"lr": 0.01, "wd": 0.0, "dropout": 0.1}
+    res = run_trial(cfg, hp, seed=0, max_iterations=20, patience=50,
+                    verbose=False)
+    accs = [h["val_acc"] for h in res["history"]]
+    assert max(accs) > 0.4, accs
