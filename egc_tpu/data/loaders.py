@@ -59,6 +59,8 @@ class GraphLoader:
         self._rng = np.random.default_rng(seed)
         self.budget = budget or padding_budget(graphs, batch_size)
         self.drop_last = drop_last
+        # eval loaders iterate the identical batches every epoch: build once
+        self._cache = None if shuffle else []
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -66,6 +68,9 @@ class GraphLoader:
             (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[Graph, np.ndarray]]:
+        if self._cache:
+            yield from self._cache
+            return
         order = np.arange(len(self.graphs))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -75,4 +80,7 @@ class GraphLoader:
             if self.drop_last and len(idx) < self.batch_size:
                 break
             batch = [self.graphs[i] for i in idx]
-            yield batch_np(batch, num_nodes=bn, num_edges=be, num_graphs=bg)
+            item = batch_np(batch, num_nodes=bn, num_edges=be, num_graphs=bg)
+            if self._cache is not None:
+                self._cache.append(item)
+            yield item

@@ -15,7 +15,6 @@ import flax.linen as nn
 from egc_tpu.graph.structure import Graph
 from egc_tpu.graph.transforms import symnorm_weight
 from egc_tpu.nn import init as einit
-from egc_tpu.ops import segment_sum, segment_mean
 
 
 class GCNConv(nn.Module):
