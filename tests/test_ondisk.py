@@ -1,0 +1,120 @@
+"""On-disk dataset reader tests against fabricated files in the documented
+layouts (no network egress — real datasets can't be fetched, so the readers
+are validated on miniature datasets written in the same formats)."""
+
+import gzip
+import pickle
+
+import numpy as np
+import pytest
+
+from egc_tpu.data import ondisk
+
+
+def write_csv_gz(path, arr, fmt="%d"):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with gzip.open(path, "wt") as f:
+        np.savetxt(f, np.asarray(arr), delimiter=",", fmt=fmt)
+
+
+def test_load_ogbn_arxiv(tmp_path, monkeypatch):
+    monkeypatch.setenv("DATASET_LOC", str(tmp_path))
+    root = tmp_path / "ogbn_arxiv"
+    n = 10
+    edges = np.array([[0, 1], [1, 2], [2, 3], [3, 0], [4, 5]])
+    x = np.random.default_rng(0).normal(size=(n, 4))
+    y = np.arange(n) % 3
+    write_csv_gz(root / "raw" / "edge.csv.gz", edges)
+    write_csv_gz(root / "raw" / "node-feat.csv.gz", x, fmt="%.6f")
+    write_csv_gz(root / "raw" / "node-label.csv.gz", y.reshape(-1, 1))
+    sd = root / "split" / "time"
+    write_csv_gz(sd / "train.csv.gz", np.arange(6).reshape(-1, 1))
+    write_csv_gz(sd / "valid.csv.gz", np.array([[6], [7]]))
+    write_csv_gz(sd / "test.csv.gz", np.array([[8], [9]]))
+
+    d = ondisk.load_ogbn_arxiv()
+    assert d["x"].shape == (n, 4)
+    assert d["num_classes"] == 3
+    # to_undirected applied: both directions present
+    pairs = set(zip(d["senders"].tolist(), d["receivers"].tolist()))
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert len(d["train_idx"]) == 6
+
+
+def test_load_ogbg_molhiv(tmp_path, monkeypatch):
+    monkeypatch.setenv("DATASET_LOC", str(tmp_path))
+    root = tmp_path / "ogbg_molhiv"
+    # two graphs: 3 nodes/2 edges and 2 nodes/1 edge
+    write_csv_gz(root / "raw" / "num-node-list.csv.gz", [[3], [2]])
+    write_csv_gz(root / "raw" / "num-edge-list.csv.gz", [[2], [1]])
+    write_csv_gz(root / "raw" / "edge.csv.gz", [[0, 1], [1, 2], [0, 1]])
+    feats = np.random.default_rng(0).integers(0, 2, size=(5, 9))
+    write_csv_gz(root / "raw" / "node-feat.csv.gz", feats)
+    write_csv_gz(root / "raw" / "graph-label.csv.gz", [[1], [0]])
+    sd = root / "split" / "scaffold"
+    write_csv_gz(sd / "train.csv.gz", [[0]])
+    write_csv_gz(sd / "valid.csv.gz", [[1]])
+    write_csv_gz(sd / "test.csv.gz", [[1]])
+
+    d = ondisk.load_ogbg_molhiv()
+    assert len(d["train"]) == 1 and len(d["val"]) == 1
+    g0 = d["train"][0]
+    assert g0["nodes"].shape == (3, 9)
+    assert g0["y"][0] == 1
+    # per-graph edge indices are local
+    assert g0["senders"].max() < 3
+
+
+def test_vocab_and_seq_roundtrip():
+    seqs = [["get", "name"], ["set", "name"], ["name"]]
+    v2i, i2v = ondisk.build_vocab(seqs, num_vocab=2)
+    # top-2 by count: "name"(3), "get"(1) — stable first-appearance order
+    assert i2v[:2] == ["name", "get"]
+    assert i2v[-2:] == ["__UNK__", "__EOS__"]
+    enc = ondisk.encode_seq(["set", "name"], v2i, seq_len=4)
+    assert enc[0] == v2i["__UNK__"] and enc[1] == v2i["name"]
+    assert enc[2] == v2i["__EOS__"]
+    dec = ondisk.decode_arr(enc, i2v)
+    assert dec == ["__UNK__", "name"]   # cut at first EOS
+
+
+def test_augment_ast_edges():
+    s = np.array([1, 2, 3], np.int32)      # child -> parent
+    r = np.array([0, 0, 1], np.int32)
+    is_att = np.array([0, 1, 0, 1])
+    s2, r2 = ondisk.augment_ast_edges_np(s, r, is_att)
+    pairs = set(zip(s2.tolist(), r2.tolist()))
+    # AST + inverse
+    assert (1, 0) in pairs and (0, 1) in pairs
+    # next-token between attributed nodes 1 and 3, plus inverse
+    assert (1, 3) in pairs and (3, 1) in pairs
+    assert len(s2) == 2 * 3 + 2
+
+
+def test_load_zinc(tmp_path, monkeypatch):
+    import torch
+
+    monkeypatch.setenv("DATASET_LOC", str(tmp_path))
+    raw = tmp_path / "ZINC" / "raw"
+    raw.mkdir(parents=True)
+    mols = []
+    for n in (3, 4):
+        adj = np.zeros((n, n), np.int64)
+        adj[0, 1] = adj[1, 0] = 1
+        mols.append({
+            "atom_type": torch.tensor(np.arange(n)),
+            "bond_type": torch.tensor(adj),
+            "logP_SA_cycle_normalized": torch.tensor(0.5),
+        })
+    for split in ("train", "val", "test"):
+        with open(raw / f"{split}.pickle", "wb") as f:
+            pickle.dump(mols, f)
+        (raw / f"{split}.index").write_text("0,1")
+
+    d = ondisk.load_zinc()
+    assert len(d["train"]) == 2
+    g = d["train"][0]
+    assert g["nodes"].shape == (3, 1)
+    assert set(zip(g["senders"].tolist(), g["receivers"].tolist())) == \
+        {(0, 1), (1, 0)}
+    assert g["y"][0] == pytest.approx(0.5)
