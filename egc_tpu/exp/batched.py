@@ -275,10 +275,12 @@ class CodeConfig(BatchedGraphConfig):
 
     name = "code"
 
-    def __init__(self, *args, vocab_size: int = 120,
+    def __init__(self, *args, vocab_size: int = None,
                  use_old_code_dataset: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
-        self.vocab_size = vocab_size
+        # real ogbg-code2 uses the top-5000 vocab (reference
+        # code/utils.py:11); the synthetic stand-in uses a small one
+        self._vocab_size = vocab_size
         # old ogbg-code has 10003 node attributes vs code2's 10030
         # (reference code/utils.py:14-15)
         self.use_old_code_dataset = use_old_code_dataset
@@ -289,6 +291,12 @@ class CodeConfig(BatchedGraphConfig):
 
     def trial_metric(self):
         return Metric("val_metric", "max")
+
+    @property
+    def vocab_size(self):
+        if self._vocab_size is not None:
+            return self._vocab_size
+        return 120 if self.synthetic else 5000
 
     def load_graphs(self):
         if not self.synthetic:
