@@ -253,3 +253,62 @@ def load_zinc(root: Optional[Path] = None, subset: bool = True
             })
         out[split] = graphs
     return out
+
+
+def load_ogbn_mag_hetero(root: Optional[Path] = None) -> Dict:
+    """Full heterogeneous ogbn-mag (reference ``experiments/rmag/configs.py``):
+    paper features + 3 featureless node types, the 4 raw relations plus
+    reverse edges (same-type relations symmetrized — reverse merges into
+    the same relation key like the reference's rmag prep)."""
+    from egc_tpu.graph.hetero import rel_key
+
+    root = (root or data_location()) / "ogbn_mag"
+    raw = root / "raw"
+    x_paper = _read_csv_gz(raw / "node-feat" / "paper" / "node-feat.csv.gz",
+                           np.float32)
+    y_paper = _read_csv_gz(raw / "node-label" / "paper" / "node-label.csv.gz"
+                           ).reshape(-1).astype(np.int32)
+    counts = {}
+    import json as _json
+    nodes_file = raw / "num-node-dict.json"
+    if nodes_file.exists():
+        counts = {k: int(v) for k, v in
+                  _json.loads(nodes_file.read_text()).items()}
+    rels = {
+        ("author", "affiliated_with", "institution"):
+            "author___affiliated_with___institution",
+        ("author", "writes", "paper"): "author___writes___paper",
+        ("paper", "cites", "paper"): "paper___cites___paper",
+        ("paper", "has_topic", "field_of_study"):
+            "paper___has_topic___field_of_study",
+    }
+    edges = {}
+    max_id: Dict[str, int] = {}
+    for (src, rel, dst), dirname in rels.items():
+        e = _read_csv_gz(raw / "relations" / dirname / "edge.csv.gz")
+        s, r = e[:, 0].astype(np.int32), e[:, 1].astype(np.int32)
+        max_id[src] = max(max_id.get(src, 0), int(s.max()) + 1)
+        max_id[dst] = max(max_id.get(dst, 0), int(r.max()) + 1)
+        if src == dst:
+            # symmetrize same-type relations (reference rmag prep)
+            edges[rel_key(src, rel, dst)] = (
+                np.concatenate([s, r]), np.concatenate([r, s]))
+        else:
+            edges[rel_key(src, rel, dst)] = (s, r)
+            edges[rel_key(dst, "to", src)] = (r, s)
+
+    n_of = {t: counts.get(t, max_id.get(t, 1)) for t in
+            ("paper", "author", "institution", "field_of_study")}
+    n_of["paper"] = max(n_of["paper"], x_paper.shape[0])
+    nodes = {"paper": x_paper}
+    for t in ("author", "institution", "field_of_study"):
+        nodes[t] = np.zeros((n_of[t], 0), np.float32)
+
+    split_dir = root / "split" / "time" / "paper"
+    splits = {k: _read_csv_gz(split_dir / f"{v}.csv.gz").reshape(-1)
+              for k, v in (("train", "train"), ("val", "valid"),
+                           ("test", "test"))}
+    return {"nodes": nodes, "edges": edges, "y": y_paper,
+            "train_idx": splits["train"], "val_idx": splits["val"],
+            "test_idx": splits["test"],
+            "num_classes": int(y_paper.max()) + 1}

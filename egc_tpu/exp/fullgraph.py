@@ -349,3 +349,73 @@ class PartitionedArxivConfig(ArxivConfig):
             correct = jnp.sum((pred == data["y"]) & m)
             metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
         return metrics
+
+
+class SampledMagConfig(MagConfig):
+    """ogbn-mag (homogeneous) trained on neighbor-sampled mini-batches
+    instead of the full graph — the MAG-scale path (BASELINE: "EGC-M on
+    ogbn-mag, neighbor-sampled"). Seeds shard naturally across devices for
+    sampling-parallel DP training.
+
+    Note the semantics change vs full-graph training: symnorm degrees are
+    the SAMPLED subgraph's (standard GraphSAGE-style estimator), so this is
+    a different estimator of the same objective, not a bit-identical one.
+    """
+
+    def __init__(self, *args, fanouts=(15, 10), batch_size: int = 512,
+                 **kwargs):
+        super().__init__(*args, **kwargs)
+        self.fanouts = tuple(fanouts)
+        self.batch_size = batch_size
+
+    def data(self, hparams):
+        from egc_tpu.data.sampling import NeighborSampler, SampledNodeLoader
+
+        raw = self.load_full_graph()
+        n = raw["x"].shape[0]
+        sampler = NeighborSampler(raw["senders"], raw["receivers"], n,
+                                  fanouts=self.fanouts)
+        loaders = {}
+        for split in ("train", "val", "test"):
+            loaders[split] = SampledNodeLoader(
+                sampler, raw["x"], raw["y"], raw[f"{split}_idx"],
+                self.batch_size, shuffle=(split == "train"),
+                rng_seed=hash(split) % (2 ** 31))
+        self._avg_log_deg = 1.0
+        return {"loaders": loaders, "num_classes": raw["num_classes"]}
+
+    def init_state(self, model, hparams, data, seed: int) -> TrainState:
+        g, _, _ = next(iter(data["loaders"]["val"]))
+        g = jax.tree.map(jnp.asarray, g)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            self.rng(seed), g, train=False)
+        return TrainState.create(params=variables["params"],
+                                 batch_stats=variables.get("batch_stats", {}),
+                                 tx=self.optimizer(hparams))
+
+    def train(self, model, state, data, rng, iteration: int):
+        step, _ = self._steps(model)
+        total, batches = 0.0, 0
+        for i, (g, yb, seed_mask) in enumerate(data["loaders"]["train"]):
+            g = jax.tree.map(jnp.asarray, g)
+            state, loss = step(
+                state, g, (jnp.asarray(yb), jnp.asarray(seed_mask)),
+                jax.random.fold_in(jax.random.fold_in(rng, iteration), i))
+            total += float(loss)
+            batches += 1
+        return state, {"train_loss": total / max(batches, 1)}
+
+    def val(self, model, state, data):
+        _, eval_step = self._steps(model)
+        metrics = {}
+        for split, key in (("val", "val_acc"), ("test", "test_acc")):
+            correct, count = 0.0, 0.0
+            for g, yb, seed_mask in data["loaders"][split]:
+                g = jax.tree.map(jnp.asarray, g)
+                out = eval_step(state, g)
+                pred = np.asarray(jnp.argmax(out, axis=-1))
+                correct += float(((pred == yb) & seed_mask).sum())
+                count += float(seed_mask.sum())
+            metrics[key] = correct / max(count, 1.0)
+        metrics["train_acc"] = metrics["val_acc"]  # not separately tracked
+        return metrics

@@ -63,7 +63,8 @@ class RMagConfig(ExperimentConfig):
     def load_hetero(self) -> Dict[str, Any]:
         if self.synthetic:
             return synthetic.synthetic_rmag()
-        raise NotImplementedError("on-disk ogbn-mag hetero reader")
+        from egc_tpu.data.ondisk import load_ogbn_mag_hetero
+        return load_ogbn_mag_hetero()
 
     def data(self, hparams):
         raw = self.load_hetero()

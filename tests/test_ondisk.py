@@ -118,3 +118,44 @@ def test_load_zinc(tmp_path, monkeypatch):
     assert set(zip(g["senders"].tolist(), g["receivers"].tolist())) == \
         {(0, 1), (1, 0)}
     assert g["y"][0] == pytest.approx(0.5)
+
+
+def test_load_ogbn_mag_hetero(tmp_path, monkeypatch):
+    import json
+
+    monkeypatch.setenv("DATASET_LOC", str(tmp_path))
+    root = tmp_path / "ogbn_mag"
+    raw = root / "raw"
+    n_paper, n_author, n_inst, n_fos = 6, 4, 2, 3
+    x = np.random.default_rng(0).normal(size=(n_paper, 8))
+    write_csv_gz(raw / "node-feat" / "paper" / "node-feat.csv.gz", x,
+                 fmt="%.5f")
+    write_csv_gz(raw / "node-label" / "paper" / "node-label.csv.gz",
+                 (np.arange(n_paper) % 2).reshape(-1, 1))
+    (raw / "num-node-dict.json").write_text(json.dumps({
+        "paper": n_paper, "author": n_author, "institution": n_inst,
+        "field_of_study": n_fos}))
+    rels = {
+        "author___affiliated_with___institution": [[0, 0], [1, 1]],
+        "author___writes___paper": [[0, 1], [2, 3]],
+        "paper___cites___paper": [[0, 1], [2, 3]],
+        "paper___has_topic___field_of_study": [[0, 0], [5, 2]],
+    }
+    for d, e in rels.items():
+        write_csv_gz(raw / "relations" / d / "edge.csv.gz", e)
+    sd = root / "split" / "time" / "paper"
+    write_csv_gz(sd / "train.csv.gz", [[0], [1], [2]])
+    write_csv_gz(sd / "valid.csv.gz", [[3], [4]])
+    write_csv_gz(sd / "test.csv.gz", [[5]])
+
+    d = ondisk.load_ogbn_mag_hetero()
+    assert d["nodes"]["paper"].shape == (n_paper, 8)
+    assert d["nodes"]["author"].shape == (n_author, 0)
+    # 4 relations -> 7 keys (3 reverses + symmetrized cites)
+    assert len(d["edges"]) == 7
+    s, r = d["edges"]["paper__cites__paper"]
+    assert set(zip(s.tolist(), r.tolist())) == {(0, 1), (1, 0), (2, 3),
+                                                (3, 2)}
+    s, r = d["edges"]["paper__to__author"]
+    assert set(zip(s.tolist(), r.tolist())) == {(1, 0), (3, 2)}
+    assert d["num_classes"] == 2
