@@ -107,9 +107,9 @@ class ExperimentConfig:
         return state, new_plateau
 
     # ---- persistence -----------------------------------------------------
-    def persist_trial(self, ckpt_dir, state, plateau, hparams):
+    def persist_trial(self, ckpt_dir, state, plateau, hparams, extra=None):
         save_checkpoint(Path(ckpt_dir), state=state, plateau=plateau,
-                        hparams=hparams)
+                        hparams=hparams, extra=extra)
 
     def restore_trial(self, ckpt_dir, data=None, seed: int = 0):
         import json

@@ -30,6 +30,8 @@ def run_trial(
     log_every: int = 1,
     report=None,           # callable(iteration, metrics) -> bool (prune?)
     verbose: bool = True,
+    resume: bool = False,  # continue from trial_dir's checkpoint (preemption
+    #                        recovery, SURVEY §5)
 ) -> Dict[str, Any]:
     """Train one trial to completion/early-stop; returns a result dict."""
     settings = config.settings()
@@ -46,15 +48,33 @@ def run_trial(
     plateau = config.plateau(hparams)
     rng = config.rng(seed)
 
+    start_iter = 0
+    if resume and trial_dir is not None and \
+            (Path(trial_dir) / "checkpoint.msgpack").exists():
+        from egc_tpu.train.checkpoint import load_checkpoint
+
+        state, saved_plateau, _ = load_checkpoint(Path(trial_dir),
+                                                  state_template=state)
+        if saved_plateau is not None:
+            plateau = saved_plateau
+            from egc_tpu.train.optim import set_lr
+            state = state.replace(opt_state=set_lr(state.opt_state,
+                                                   plateau.lr))
+        meta = json.loads(
+            (Path(trial_dir) / "checkpoint.json").read_text())
+        start_iter = int(meta.get("extra", {}).get("iteration", -1)) + 1
+        if verbose:
+            print(f"[{settings.name}] resuming from iteration {start_iter}")
+
     if verbose:
         print(f"[{settings.name}] trial seed={seed} params="
               f"{state.num_params:,} hparams={hparams}")
 
     best = float("inf")
-    best_iter = -1
+    best_iter = start_iter - 1
     history: List[Dict[str, float]] = []
     t0 = time.time()
-    for it in range(max_iters):
+    for it in range(start_iter, max_iters):
         state, train_metrics = config.train(model, state, data, rng, it)
         val_metrics = config.val(model, state, data)
         state, plateau = config.apply_plateau(state, plateau, val_metrics)
@@ -65,10 +85,14 @@ def run_trial(
             print("  " + " ".join(f"{k}={v:.5g}" for k, v in row.items()))
 
         score = sign * float(val_metrics[metric.name])
-        if score < best:
+        improved = score < best
+        if improved:
             best, best_iter = score, it
-            if trial_dir is not None:
-                config.persist_trial(trial_dir, state, plateau, hparams)
+        periodic = settings.checkpoint_freq and \
+            (it + 1) % settings.checkpoint_freq == 0
+        if trial_dir is not None and (improved or periodic):
+            config.persist_trial(trial_dir, state, plateau, hparams,
+                                 extra={"iteration": it})
         if report is not None and report(it, row):
             break
         if it - best_iter >= patience:   # PatientStopper semantics
@@ -76,7 +100,8 @@ def run_trial(
 
     test_metrics = config.test(model, state, data)
     if trial_dir is not None and settings.checkpoint_at_end:
-        config.persist_trial(trial_dir, state, plateau, hparams)
+        config.persist_trial(trial_dir, state, plateau, hparams,
+                             extra={"iteration": max_iters - 1})
         (Path(trial_dir) / "history.json").write_text(json.dumps(history))
         (Path(trial_dir) / "result.json").write_text(json.dumps(
             {"best_val": sign * best, "best_iter": best_iter,

@@ -92,3 +92,20 @@ def test_lr_actually_changes_updates():
     assert get_lr(opt_state) == pytest.approx(0.05)
     ratio = float(up2["w"][0] / up1["w"][0])
     assert ratio == pytest.approx(0.5, rel=0.05)
+
+
+def test_resume_from_checkpoint(tmp_path):
+    """Preemption recovery: a resumed trial continues from the saved
+    iteration with restored optimizer/plateau state."""
+    cfg = small_zinc_config()
+    hp = {"lr": 3e-3, "batch_size": 64, "wd": 0.0}
+    run_trial(cfg, hp, seed=0, max_iterations=4, patience=20,
+              trial_dir=tmp_path, verbose=False)
+
+    cfg2 = small_zinc_config()
+    res = run_trial(cfg2, hp, seed=0, max_iterations=7, patience=20,
+                    trial_dir=tmp_path, resume=True, verbose=False)
+    its = [h["iteration"] for h in res["history"]]
+    assert its[0] >= 4 and its[-1] == 6, its
+    # resumed run continues improving from the checkpointed state
+    assert res["best_val"] < 0.6
