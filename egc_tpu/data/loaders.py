@@ -25,18 +25,21 @@ def padding_budget(
 ) -> Tuple[int, int, int]:
     """Static (nodes, edges, graphs) budget covering any batch of the dataset.
 
-    Uses the max single-graph sizes so any combination of ``batch_size``
-    graphs fits: budget_n = batch_size * max_n + 1 (pad slots), rounded up to
-    hardware-friendly multiples.
+    Worst-case-exact for heavy-tailed size distributions: any batch of
+    ``batch_size`` graphs is bounded by the ``batch_size`` LARGEST graphs
+    (much tighter than batch_size * max for e.g. code2 ASTs), plus pad
+    slots, rounded to hardware-friendly multiples.
     """
-    max_n = max(int(np.asarray(g["nodes"]).shape[0]) for g in graphs)
-    max_e = max(len(g["senders"]) for g in graphs)
+    node_counts = sorted(int(np.asarray(g["nodes"]).shape[0])
+                         for g in graphs)
+    edge_counts = sorted(len(g["senders"]) for g in graphs)
 
     def round_up(x, m):
         return ((x + m - 1) // m) * m
 
-    num_nodes = round_up(batch_size * max_n + 1, node_multiple)
-    num_edges = round_up(batch_size * max_e, edge_multiple)
+    num_nodes = round_up(sum(node_counts[-batch_size:]) + 1, node_multiple)
+    num_edges = round_up(max(sum(edge_counts[-batch_size:]), 1),
+                         edge_multiple)
     return num_nodes, num_edges, batch_size + 1
 
 

@@ -44,6 +44,17 @@ class StopperSpec:
     max_iters: int
 
 
+@dataclasses.dataclass(frozen=True)
+class TrialResources:
+    """Per-trial resource request (exptune surface parity, reference
+    zinc/configs.py:106). TPU chips are not fractionally shareable the way
+    the reference packs fractional GPUs; ``cpus`` maps to parallel-search
+    worker processes and ``chips`` to whole devices per trial."""
+
+    cpus: int = 1
+    chips: float = 1.0
+
+
 class ExperimentConfig:
     """Base class; subclasses implement the task-specific hooks."""
 
