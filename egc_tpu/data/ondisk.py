@@ -226,7 +226,7 @@ def load_ogbg_code2(root: Optional[Path] = None, num_vocab: int = 5000,
 
 def load_zinc(root: Optional[Path] = None, subset: bool = True
               ) -> Dict[str, List[dict]]:
-    import torch  # raw pickles contain torch tensors
+    import torch  # noqa: F401 — registers tensor classes for unpickling
 
     root = (root or data_location()) / "ZINC"
     raw = root / "raw"

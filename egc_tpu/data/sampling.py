@@ -18,7 +18,7 @@ Shard seeds across hosts/devices for distributed sampling-parallel training
 
 from __future__ import annotations
 
-from typing import Iterator, Optional, Sequence, Tuple
+from typing import Iterator, Sequence, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ used automatically when real data is present).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +32,7 @@ from egc_tpu.models.nets import (
 from egc_tpu.train.loop import (
     make_train_step, make_eval_step, train_epoch, eval_epoch,
 )
-from egc_tpu.train.metrics import accuracy, roc_auc, sequence_f1
+from egc_tpu.train.metrics import roc_auc, sequence_f1
 from egc_tpu.train.state import TrainState
 
 

@@ -20,9 +20,8 @@ import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
-import numpy as np
 
 
 def _worker(spec: Tuple[str, str, tuple, dict], hparams: Dict[str, Any],

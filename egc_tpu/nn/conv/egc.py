@@ -28,14 +28,13 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from egc_tpu.graph.structure import Graph
 from egc_tpu.graph.transforms import symnorm_weight
 from egc_tpu.nn import init as einit
-from egc_tpu.ops import multi_aggregate, canonical_aggr
+from egc_tpu.ops import canonical_aggr
 
 
 class EGConv(nn.Module):

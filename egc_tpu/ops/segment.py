@@ -27,7 +27,7 @@ shapes and one less gather per edge.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ All outputs are stacked with a leading partition axis P, ready for
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 

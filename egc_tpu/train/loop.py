@@ -8,7 +8,7 @@ computation. The step compiles once (static batch shapes from GraphLoader).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Iterable, Optional
+from typing import Callable, Iterable, Optional
 
 import jax
 import jax.numpy as jnp
