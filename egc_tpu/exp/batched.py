@@ -105,10 +105,15 @@ class BatchedGraphConfig(ExperimentConfig):
                                  tx=tx)
 
     def _steps(self, model):
-        if self._train_step is None:
-            self._train_step = make_train_step(model, self.loss_fn)
-            self._eval_step = make_eval_step(model)
-        return self._train_step, self._eval_step
+        # keyed by the model (a frozen dataclass): hyperparameters that
+        # change model fields (e.g. dropout) must rebuild the jitted steps
+        cache = getattr(self, "_steps_cache", None)
+        if cache is None:
+            cache = self._steps_cache = {}
+        if model not in cache:
+            cache[model] = (make_train_step(model, self.loss_fn),
+                            make_eval_step(model))
+        return cache[model]
 
     def train(self, model, state, data, rng, iteration: int):
         step, _ = self._steps(model)

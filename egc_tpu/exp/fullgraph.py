@@ -135,10 +135,15 @@ class FullGraphConfig(ExperimentConfig):
         return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
     def _steps(self, model):
-        if self._train_step is None:
-            self._train_step = make_train_step(model, self.loss_fn)
-            self._eval_step = make_eval_step(model)
-        return self._train_step, self._eval_step
+        # keyed by the model (a frozen dataclass): hyperparameters that
+        # change model fields (e.g. dropout) must rebuild the jitted steps
+        cache = getattr(self, "_steps_cache", None)
+        if cache is None:
+            cache = self._steps_cache = {}
+        if model not in cache:
+            cache[model] = (make_train_step(model, self.loss_fn),
+                            make_eval_step(model))
+        return cache[model]
 
     def train(self, model, state, data, rng, iteration: int):
         step, _ = self._steps(model)
@@ -326,8 +331,9 @@ class PartitionedArxivConfig(ArxivConfig):
         from egc_tpu.parallel import make_partitioned_train_step
 
         model = getattr(self, "_model_obj", model)
-        if self._pstep is None:
+        if self._pstep is None or self._pstep_model != model:
             self._pstep = make_partitioned_train_step(model, self._mesh)
+            self._pstep_model = model
         state, loss = self._pstep(
             state, data["graph"], data["send_idx"], data["y"],
             data["masks"]["train"], jax.random.fold_in(rng, iteration))
@@ -337,8 +343,10 @@ class PartitionedArxivConfig(ArxivConfig):
         from egc_tpu.parallel import make_partitioned_eval_step
 
         model = getattr(self, "_model_obj", model)
-        if self._eval_step is None:
+        if self._eval_step is None or \
+                getattr(self, "_eval_model", None) != model:
             self._eval_step = make_partitioned_eval_step(model, self._mesh)
+            self._eval_model = model
         out = self._eval_step(state, data["graph"], data["send_idx"])
         plan = data["plan"]
         pred = jnp.argmax(out[:, :plan.n_local], axis=-1)

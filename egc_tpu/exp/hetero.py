@@ -114,7 +114,10 @@ class RMagConfig(ExperimentConfig):
         return state, {"train_loss": float(loss)}
 
     def _get_steps(self, model):
-        if self._train_step is None:
+        cache = getattr(self, "_steps_cache", None)
+        if cache is None:
+            cache = self._steps_cache = {}
+        if model not in cache:
 
             def loss_fn(out, y, hg):
                 labels, train_mask = y
@@ -124,9 +127,9 @@ class RMagConfig(ExperimentConfig):
                 m = train_mask.astype(out.dtype)
                 return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
-            self._train_step = make_train_step(model, loss_fn)
-            self._eval_step = make_eval_step(model)
-        return {"train": self._train_step, "eval": self._eval_step}
+            cache[model] = {"train": make_train_step(model, loss_fn),
+                            "eval": make_eval_step(model)}
+        return cache[model]
 
     def val(self, model, state, data):
         steps = self._get_steps(model)

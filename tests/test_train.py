@@ -109,3 +109,20 @@ def test_resume_from_checkpoint(tmp_path):
     assert its[0] >= 4 and its[-1] == 6, its
     # resumed run continues improving from the checkpointed state
     assert res["best_val"] < 0.6
+
+
+def test_step_cache_keys_on_model():
+    """Hyperparameters that change model fields (dropout) must rebuild the
+    jitted steps — a single cached closure would silently pin the first
+    trial's model."""
+    from egc_tpu.exp.batched import CifarConfig
+
+    cfg = CifarConfig("egc", hidden=16, heads=2, bases=2, aggrs=("symnorm",))
+    m1 = cfg.model({"dropout": 0.0})
+    m2 = cfg.model({"dropout": 0.5})
+    m1b = cfg.model({"dropout": 0.0})
+    s1 = cfg._steps(m1)
+    s2 = cfg._steps(m2)
+    s1b = cfg._steps(m1b)
+    assert s1 is not s2          # different dropout -> rebuilt
+    assert s1 is s1b             # equal model -> cached
