@@ -44,7 +44,17 @@ def padding_budget(
 
 
 class GraphLoader:
-    """Iterates fixed-shape padded batches over a list of graph dicts."""
+    """Iterates fixed-shape padded batches over a list of graph dicts.
+
+    With ``kernel_plans=True`` every batch carries a fused-Pallas kernel
+    plan (egc_tpu.ops.dispatch.build_kernel_plan) so convs take the TPU
+    fast path on batched tasks too, not just static full graphs. The
+    budget's node count must then be a multiple of ``plan_block`` —
+    ``padding_budget(..., node_multiple=plan_block)``. All plan arrays are
+    budget-static, so the jitted step still compiles once.
+    """
+
+    PLAN_BLOCK = 512   # fwd/bwd block+window rows for per-batch plans
 
     def __init__(
         self,
@@ -55,12 +65,21 @@ class GraphLoader:
         seed: int = 0,
         budget: Optional[Tuple[int, int, int]] = None,
         drop_last: bool = False,
+        kernel_plans: bool = False,
     ):
         self.graphs = graphs
         self.batch_size = batch_size
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
-        self.budget = budget or padding_budget(graphs, batch_size)
+        self.budget = budget or padding_budget(
+            graphs, batch_size,
+            node_multiple=self.PLAN_BLOCK if kernel_plans else 8)
+        self.kernel_plans = kernel_plans
+        if kernel_plans and self.budget[0] % self.PLAN_BLOCK:
+            raise ValueError(
+                f"kernel_plans needs node budget % {self.PLAN_BLOCK} == 0, "
+                f"got {self.budget[0]} (pass a padding_budget built with "
+                f"node_multiple={self.PLAN_BLOCK})")
         self.drop_last = drop_last
         # eval loaders iterate the identical batches every epoch: build once
         self._cache = None if shuffle else []
@@ -83,7 +102,21 @@ class GraphLoader:
             if self.drop_last and len(idx) < self.batch_size:
                 break
             batch = [self.graphs[i] for i in idx]
-            item = batch_np(batch, num_nodes=bn, num_edges=be, num_graphs=bg)
+            g, y = batch_np(batch, num_nodes=bn, num_edges=be, num_graphs=bg)
+            if self.kernel_plans:
+                from egc_tpu.ops.dispatch import build_kernel_plan
+                # padded edges point at the padding node (pad_graph), so
+                # their contributions land in masked rows — include them to
+                # keep the plan's edge arrays budget-static.
+                plan = build_kernel_plan(
+                    np.asarray(g.senders), np.asarray(g.receivers), bn,
+                    fwd_block_rows=self.PLAN_BLOCK,
+                    fwd_window_rows=self.PLAN_BLOCK,
+                    bwd_block_rows=self.PLAN_BLOCK,
+                    bwd_window_rows=self.PLAN_BLOCK,
+                    has_padding_row=True)
+                g = g.replace(kernel_plan=plan)
+            item = (g, y)
             if self._cache is not None:
                 self._cache.append(item)
             yield item

@@ -221,6 +221,49 @@ def load_ogbg_code2(root: Optional[Path] = None, num_vocab: int = 5000,
 
 
 # ---------------------------------------------------------------------------
+# CIFAR10 superpixels (GNNBenchmarkDataset raw layout)
+# ---------------------------------------------------------------------------
+
+def load_cifar10_superpixels(root: Optional[Path] = None
+                             ) -> Dict[str, List[dict]]:
+    """CIFAR10 superpixel graphs (reference ``experiments/cifar/configs.py:
+    37-45``: ``GNNBenchmarkDataset(root, "CIFAR10", split=...)`` with a
+    transform concatenating ``pos`` onto ``x`` -> 5 input features).
+
+    Layout: ``<root>/CIFAR10/raw/CIFAR10_{train,val,test}.pt`` — torch
+    files, each a list of per-graph dicts/Data-likes with ``x`` [N,3]
+    mean-color, ``pos`` [N,2], ``edge_index`` [2,E], ``y`` scalar class.
+    """
+    import torch
+
+    root = (root or data_location()) / "CIFAR10"
+    raw = root / "raw"
+    out: Dict[str, List[dict]] = {}
+    for split, fname in (("train", "CIFAR10_train.pt"),
+                         ("val", "CIFAR10_val.pt"),
+                         ("test", "CIFAR10_test.pt")):
+        items = torch.load(raw / fname, map_location="cpu",
+                           weights_only=False)
+        graphs = []
+        for it in items:
+            get = it.get if isinstance(it, dict) else \
+                (lambda k, _it=it: getattr(_it, k, None))
+            x = np.asarray(get("x"), np.float32)
+            pos = np.asarray(get("pos"), np.float32)
+            ei = np.asarray(get("edge_index"), np.int64)
+            y = np.asarray(get("y")).reshape(-1)[:1].astype(np.int32)
+            graphs.append({
+                # cat([x, pos], -1): reference cifar/configs.py:37-39
+                "nodes": np.concatenate([x, pos], axis=1),
+                "senders": ei[0].astype(np.int32),
+                "receivers": ei[1].astype(np.int32),
+                "y": y,
+            })
+        out[split] = graphs
+    return out
+
+
+# ---------------------------------------------------------------------------
 # ZINC (PyG raw pickles)
 # ---------------------------------------------------------------------------
 

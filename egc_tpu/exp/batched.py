@@ -11,6 +11,7 @@ used automatically when real data is present).
 
 from __future__ import annotations
 
+import zlib
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -83,14 +84,31 @@ class BatchedGraphConfig(ExperimentConfig):
     def trial_metric(self) -> Metric:
         return Metric("val_loss", "min")
 
+    def _ahb(self, grace_period: int, max_t: int):
+        from egc_tpu.exp.search import AsyncHyperBandPruner
+        return AsyncHyperBandPruner(self.trial_metric().mode,
+                                    grace_period=grace_period, max_t=max_t)
+
+    def trial_scheduler(self):
+        # reference zinc/cifar configs: AsyncHyperBand grace_period=20
+        return self._ahb(20, self.settings().final_max_iterations)
+
     def data(self, hparams):
         splits = self.load_graphs()
         bs = int(hparams.get("batch_size", 128))
         all_graphs = splits["train"] + splits["val"] + splits["test"]
-        budget = padding_budget(all_graphs, bs)
+        # on TPU, batches carry fused-kernel plans (node budget aligned to
+        # the plan block size); elsewhere the XLA segment path is used
+        use_plans = jax.default_backend() == "tpu"
+        budget = padding_budget(
+            all_graphs, bs,
+            node_multiple=GraphLoader.PLAN_BLOCK if use_plans else 8)
+        # crc32, not hash(): Python string hashing is randomized per process
+        # (PYTHONHASHSEED), which would break seeded-run reproducibility
         return {
             name: GraphLoader(graphs, bs, shuffle=(name == "train"),
-                              budget=budget, seed=hash(name) % (2 ** 31))
+                              budget=budget, kernel_plans=use_plans,
+                              seed=zlib.crc32(name.encode()) % (2 ** 31))
             for name, graphs in splits.items()
         }
 
@@ -185,6 +203,9 @@ class CifarConfig(BatchedGraphConfig):
                                   final_max_iterations=200)
 
     def load_graphs(self):
+        if not self.synthetic:
+            from egc_tpu.data.ondisk import load_cifar10_superpixels
+            return load_cifar10_superpixels()
         return synthetic.synthetic_cifar()
 
     def model(self, hparams):
@@ -232,6 +253,15 @@ class MolConfig(BatchedGraphConfig):
 
     def trial_metric(self):
         return Metric("val_metric", "max")
+
+    def search_strategy(self):
+        # reference mol/configs.py:125-126
+        from egc_tpu.exp.search import GridSearchStrategy
+        return GridSearchStrategy({"lr": 5, "wd": 2, "dropout": 2})
+
+    def trial_scheduler(self):
+        # reference mol/configs.py:128-131: grace_period=30
+        return self._ahb(30, self.settings().final_max_iterations)
 
     def hyperparams(self):
         # reference mol/configs.py:162-167
@@ -291,11 +321,39 @@ class CodeConfig(BatchedGraphConfig):
         self.use_old_code_dataset = use_old_code_dataset
 
     def settings(self):
+        # ITERS=25 (reference code/configs.py:28)
         return ExperimentSettings("code", final_repeats=10,
-                                  final_max_iterations=50)
+                                  final_max_iterations=25)
+
+    def stoppers(self):
+        # PATIENCE=5 (reference code/configs.py:29,144-146)
+        return StopperSpec(patience=5, max_iters=25)
 
     def trial_metric(self):
         return Metric("val_metric", "max")
+
+    def search_strategy(self):
+        # reference code/configs.py:128-129
+        from egc_tpu.exp.search import GridSearchStrategy
+        return GridSearchStrategy({"lr": 6})
+
+    def trial_scheduler(self):
+        # reference code/configs.py:131-135: grace_period=15
+        return self._ahb(15, 25)
+
+    def hyperparams(self):
+        # lr is the only searched hyperparameter; batch size is fixed 128
+        # (reference code/configs.py:160-163,141)
+        return {
+            "lr": LogUniformHyperParam(0.0001, 0.01, default=0.001),
+        }
+
+    def plateau(self, hparams):
+        # ReduceLROnPlateau(mode=max, factor=0.2, patience=10):
+        # reference code/configs.py:155-157
+        from egc_tpu.train.optim import plateau_init
+        return plateau_init(hparams["lr"], mode="max", factor=0.2,
+                            patience=10, min_lr=1e-5)
 
     @property
     def vocab_size(self):

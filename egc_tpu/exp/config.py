@@ -77,6 +77,23 @@ class ExperimentConfig:
     def default_hparams(self) -> Dict[str, Any]:
         return default_hparams(self.hyperparams())
 
+    def search_strategy(self):
+        """Search strategy for this task (reference zinc/configs.py:108-109).
+        Default: random search over ``num_samples`` candidates."""
+        from egc_tpu.exp.search import RandomSearchStrategy
+        return RandomSearchStrategy(getattr(self, "_num_samples", 50))
+
+    def trial_scheduler(self):
+        """Pruner for the search, or None for FIFO (run every trial to
+        stop/patience). Reference: AsyncHyperBandScheduler vs FIFOScheduler
+        per task (SURVEY §2.2)."""
+        return None
+
+    def resource_requirements(self) -> "TrialResources":
+        """Per-trial resources; ``cpus`` bounds parallel-search workers
+        (reference zinc/configs.py:105-106)."""
+        return TrialResources(cpus=1, chips=1.0)
+
     # ---- construction ----------------------------------------------------
     def data(self, hparams: Dict[str, Any]):
         raise NotImplementedError
@@ -126,9 +143,11 @@ class ExperimentConfig:
         import json
         meta = json.loads((Path(ckpt_dir) / "checkpoint.json").read_text())
         hparams = meta.get("hparams", {})
-        model = self.model(hparams)
+        # data BEFORE model, mirroring run_trial: data-dependent model fields
+        # (e.g. PNA's avg_log_deg) must see the dataset statistics.
         if data is None:
             data = self.data(hparams)
+        model = self.model(hparams)
         template = self.init_state(model, hparams, data, seed)
         state, plateau, _ = load_checkpoint(Path(ckpt_dir),
                                             state_template=template)

@@ -182,6 +182,11 @@ class ArxivConfig(FullGraphConfig):
     def trial_metric(self):
         return Metric("val_acc", "max")
 
+    def search_strategy(self):
+        # reference arxiv/configs.py:122-123 (FIFO scheduler = no pruner)
+        from egc_tpu.exp.search import GridSearchStrategy
+        return GridSearchStrategy({"lr": 10, "wd": 2, "dropout": 2})
+
     def hyperparams(self):
         # reference arxiv/configs.py:140-144
         return {
@@ -229,6 +234,11 @@ class MagConfig(FullGraphConfig):
     def trial_metric(self):
         return Metric("val_acc", "max")
 
+    def search_strategy(self):
+        # fixed hparams: empty grid (reference mag/configs.py:108-109)
+        from egc_tpu.exp.search import GridSearchStrategy
+        return GridSearchStrategy({})
+
     def hyperparams(self):
         return {
             "lr": LogUniformHyperParam(0.001, 0.05, default=0.01),
@@ -237,8 +247,9 @@ class MagConfig(FullGraphConfig):
         }
 
     def plateau(self, hparams):
+        # ReduceLROnPlateau(patience=10): reference mag/configs.py:140-142
         return plateau_init(hparams["lr"], mode="max", factor=0.5,
-                            patience=25, min_lr=1e-5)
+                            patience=10, min_lr=1e-5)
 
     def load_full_graph(self):
         if self.synthetic:
@@ -293,7 +304,7 @@ class PartitionedArxivConfig(ArxivConfig):
             m[raw[f"{split}_idx"]] = True
             masks[split] = jnp.asarray(plan.scatter_nodes(m))
         self._mesh = make_mesh({"graph": self.partitions})
-        return {
+        data = {
             "plan": plan,
             "graph": jax.tree.map(jnp.asarray, plan.extended_graph(x_ext)),
             "send_idx": jnp.asarray(plan.send_idx),
@@ -302,6 +313,10 @@ class PartitionedArxivConfig(ArxivConfig):
             "num_classes": raw["num_classes"],
             "num_features": raw["x"].shape[1],
         }
+        # record immediately so model(hparams) built after data() (run_trial
+        # and restore_trial ordering) sees the real feature/class counts
+        self._last_pdata = data
+        return data
 
     def model(self, hparams):
         from egc_tpu.parallel import DistributedNodeClassifier
@@ -385,10 +400,11 @@ class SampledMagConfig(MagConfig):
                                   fanouts=self.fanouts)
         loaders = {}
         for split in ("train", "val", "test"):
+            import zlib
             loaders[split] = SampledNodeLoader(
                 sampler, raw["x"], raw["y"], raw[f"{split}_idx"],
                 self.batch_size, shuffle=(split == "train"),
-                rng_seed=hash(split) % (2 ** 31))
+                rng_seed=zlib.crc32(split.encode()) % (2 ** 31))
         self._avg_log_deg = 1.0
         return {"loaders": loaders, "num_classes": raw["num_classes"]}
 

@@ -48,6 +48,11 @@ class RMagConfig(ExperimentConfig):
     def trial_metric(self):
         return Metric("val_acc", "max")
 
+    def search_strategy(self):
+        # fixed hparams: empty grid (reference rmag/configs.py:118-119)
+        from egc_tpu.exp.search import GridSearchStrategy
+        return GridSearchStrategy({})
+
     def hyperparams(self):
         # reference rmag/configs.py:137-139
         return {

@@ -49,8 +49,10 @@ class GridSearchStrategy:
 class AsyncHyperBandPruner:
     """Successive-halving pruner (AsyncHyperBandScheduler's core behavior):
     at each rung (grace_period * reduction^k iterations), a trial is pruned
-    if its best-so-far falls outside the top 1/reduction of completed scores
-    recorded at that rung."""
+    if its BEST-SO-FAR score falls outside the top 1/reduction of the
+    best-so-far scores other trials recorded at that rung (asynchronous:
+    the cutoff uses however many trials have reached the rung, as
+    ray.tune's AsyncHyperBand does)."""
 
     def __init__(self, mode: str, grace_period: int = 20,
                  reduction_factor: int = 4, max_t: int = 200):
@@ -62,18 +64,23 @@ class AsyncHyperBandPruner:
             t *= reduction_factor
         self.reduction = reduction_factor
         self.recorded: Dict[int, List[float]] = {r: [] for r in self.rungs}
+        self._trial_best = float("inf")
+
+    def start_trial(self):
+        """Reset per-trial state (call before each trial's first report)."""
+        self._trial_best = float("inf")
 
     def __call__(self, iteration: int, score: float) -> bool:
-        """Returns True if the trial should be pruned at this iteration."""
-        s = self.sign * score
+        """Report one (iteration, metric) row; True => prune the trial."""
+        self._trial_best = min(self._trial_best, self.sign * score)
         if iteration not in self.recorded:
             return False
         rung = self.recorded[iteration]
-        rung.append(s)
+        rung.append(self._trial_best)
         if len(rung) < self.reduction:
             return False
         cutoff = np.quantile(rung, 1.0 / self.reduction)
-        return bool(s > cutoff)
+        return bool(self._trial_best > cutoff)
 
 
 def run_search(
@@ -91,13 +98,13 @@ def run_search(
     exp_dir.mkdir(parents=True, exist_ok=True)
     space = config.hyperparams()
     metric = config.trial_metric()
-    strategy = strategy or RandomSearchStrategy(20)
+    # strategy + scheduler come from the config's own hooks (reference
+    # exptune surface: config.search_strategy()/trial_scheduler())
+    strategy = strategy or config.search_strategy()
     rng = np.random.default_rng(seed)
     candidates = strategy.generate(space, rng)
 
-    stopper = config.stoppers()
-    pruner = AsyncHyperBandPruner(metric.mode, max_t=stopper.max_iters) \
-        if use_pruner and isinstance(strategy, RandomSearchStrategy) else None
+    pruner = config.trial_scheduler() if use_pruner else None
 
     results = []
     sign = 1.0 if metric.mode == "min" else -1.0
@@ -108,6 +115,8 @@ def run_search(
                   f"{len(candidates)}")
         report = None
         if pruner is not None:
+            pruner.start_trial()
+
             def report(it, row, _p=pruner):
                 return _p(it, float(row[metric.name]))
         res = run_trial(config, hp, seed=seed + i, report=report,

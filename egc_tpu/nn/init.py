@@ -19,8 +19,13 @@ import jax.numpy as jnp
 
 
 def torch_linear_kernel(key, shape, dtype=jnp.float32):
-    """U(±1/sqrt(fan_in)) for a [fan_in, fan_out] kernel."""
-    fan_in = shape[0]
+    """U(±1/sqrt(fan_in)) for a [..., fan_in, fan_out] kernel.
+
+    Leading axes (e.g. MPNN/PNA towers) are batch dimensions: the reference
+    uses one torch.nn.Linear per tower, so fan_in is the second-to-last
+    axis, not the product of leading axes.
+    """
+    fan_in = shape[-2] if len(shape) >= 2 else shape[0]
     bound = 1.0 / jnp.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 

@@ -66,16 +66,24 @@ def build_kernel_plan(
     fwd_window_rows: int = 4096,
     bwd_block_rows: int = 4096,
     bwd_window_rows: int = 512,
+    has_padding_row: bool = False,
 ) -> GraphKernelPlan:
     """Host-side plan builder (call once per static graph).
 
     Masked/padded edges may be included as long as they point at padding
     rows (their contributions land in masked rows, like the XLA path).
+    ``has_padding_row``: the caller guarantees ``num_nodes`` already
+    includes padding rows (batched-loader budgets), so the plan may land
+    exactly on ``round_up(num_nodes, align)`` instead of reserving an
+    extra aligned block.
     """
     align = max(fwd_block_rows, fwd_window_rows, bwd_block_rows,
                 bwd_window_rows)
-    # always reserve at least one padding row (padded edges need a target)
-    n_pad = ((num_nodes + align) // align) * align
+    if has_padding_row:
+        n_pad = ((num_nodes + align - 1) // align) * align
+    else:
+        # reserve at least one padding row (padded edges need a target)
+        n_pad = ((num_nodes + align) // align) * align
 
     if edge_mask is not None:
         senders = senders[edge_mask]
@@ -141,6 +149,11 @@ def fused_multi_aggregate(
     if "wsum" in prims:
         if symnorm_edge_w is None:
             raise ValueError("symnorm requires symnorm_edge_w")
+        # The fused VJP treats edge weights as graph CONSTANTS (zero
+        # cotangent), unlike the XLA path which differentiates through
+        # them. Make that explicit so a future learned-edge-weight caller
+        # sees a stopped gradient rather than silently training with zeros.
+        symnorm_edge_w = jax.lax.stop_gradient(symnorm_edge_w)
         ew_f = jnp.take(symnorm_edge_w, plan.fwd.edge_perm)
         ew_b = jnp.take(symnorm_edge_w, plan.bwd.edge_perm)
 
@@ -264,21 +277,31 @@ def _fused_primitives(plan, prims, ew_f, ew_b):
 def conv_aggregate(g, x, aggrs, *, include_self: bool = False,
                    symnorm_edge_w=None, symnorm_self_w=None):
     """Unified aggregation entry point for conv layers: dispatches to the
-    fused Pallas path when the graph carries a kernel plan, the feature
-    width is lane-aligned, and we are on TPU; otherwise the XLA segment
-    path. Returns [N, A, F] in the order of ``aggrs``."""
+    fused Pallas path when the graph carries a kernel plan and we are on
+    TPU; otherwise the XLA segment path. Returns [N, A, F] in the order of
+    ``aggrs``.
+
+    Unaligned feature widths (the reference's tuned configs are mostly not
+    lane multiples: arxiv EGC-M h136, zinc h168/h124, hiv h296/h224, code
+    h300/h304 — BASELINE.md) are zero-padded up to the next multiple of 128
+    and sliced back after aggregation. Every supported aggregator is
+    column-independent, so the pad columns never mix into real ones.
+    """
     import jax as _jax
 
     from egc_tpu.ops.segment import multi_aggregate
 
     plan = getattr(g, "kernel_plan", None)
     n, f = x.shape
-    if (plan is not None and f % 128 == 0
-            and n == getattr(plan, "n_pad", -1)
+    if (plan is not None and n == getattr(plan, "n_pad", -1)
             and _jax.default_backend() == "tpu"):
-        return fused_multi_aggregate(
+        f_pad = ((f + 127) // 128) * 128
+        if f_pad != f:
+            x = jnp.pad(x, ((0, 0), (0, f_pad - f)))
+        out = fused_multi_aggregate(
             x, plan, aggrs, include_self=include_self,
             symnorm_edge_w=symnorm_edge_w, symnorm_self_w=symnorm_self_w)
+        return out[:, :, :f] if f_pad != f else out
     return multi_aggregate(
         x, g.senders, g.receivers, aggrs, edge_mask=g.edge_mask,
         include_self=include_self, symnorm_edge_w=symnorm_edge_w,

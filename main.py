@@ -31,9 +31,7 @@ import click
 from egc_tpu.exp.batched import ZincConfig, CifarConfig, MolConfig, CodeConfig
 from egc_tpu.exp.fullgraph import ArxivConfig, MagConfig
 from egc_tpu.exp.runner import check_config, train_final_models
-from egc_tpu.exp.search import (
-    run_search, RandomSearchStrategy, GridSearchStrategy,
-)
+from egc_tpu.exp.search import run_search
 
 MODELS = ["gcn", "gat", "egc", "gin", "mpnn-sum", "mpnn-max", "pna", "sage",
           "gatv2"]
@@ -151,6 +149,10 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
                           partitions=partitions)
 
     if pretrained:
+        # architecture must match the published pretrained config exactly
+        # (reference load_pretrained asserts, zinc/configs.py:264-284)
+        from egc_tpu.exp.pretrained import validate_pretrained
+        validate_pretrained(dataset, model, config)
         model_obj, state, plateau, hp, data = config.restore_trial(
             exp_directory)
         print(model_obj)
@@ -172,17 +174,9 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
         best_hparams = config.default_hparams()
         print("Using default hyperparams:", best_hparams)
     else:
-        if dataset in ("arxiv",):
-            strategy = GridSearchStrategy({"lr": 10, "wd": 2, "dropout": 2})
-        elif dataset == "hiv":
-            # reference mol/configs.py:126
-            strategy = GridSearchStrategy({"lr": 5, "wd": 2, "dropout": 2})
-        elif dataset in ("mag", "rmag"):
-            strategy = GridSearchStrategy({})
-        else:
-            strategy = RandomSearchStrategy(num_samples)
-        best_hparams = run_search(config, exp_directory, strategy=strategy,
-                                  seed=seed_base)
+        # strategy + scheduler come from config.search_strategy() /
+        # config.trial_scheduler() (reference exptune hook surface)
+        best_hparams = run_search(config, exp_directory, seed=seed_base)
         print("Best hparams:", best_hparams)
 
     train_final_models(config, best_hparams, exp_directory,

@@ -111,3 +111,52 @@ def test_plan_respects_edge_mask():
         jnp.asarray(vals), jnp.asarray(senders), jnp.asarray(receivers),
         ["sum"], edge_mask=jnp.asarray(mask)))[:, 0]
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_unaligned_width_pads_through_kernel(monkeypatch):
+    """conv_aggregate routes unaligned feature widths (the reference's tuned
+    configs: h136/h168/...) onto the fused path by zero-padding columns."""
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.ops import dispatch as dsp
+    from egc_tpu.ops.segment import multi_aggregate
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    vals, senders, receivers = small_graph(seed=5, n=200, e=900, f=128)
+    f = 72                                # not a lane multiple
+    vals = vals[:, :f].copy()
+    n = vals.shape[0]
+    plan = plan_small(senders, receivers, n)
+    g = Graph.from_coo(np.zeros((n, 1), np.float32), senders, receivers)
+    g = pad_graph(g, num_nodes=plan.n_pad, num_edges=len(senders))
+    g = g.replace(kernel_plan=plan)
+    vpad = jnp.zeros((plan.n_pad, f)).at[:n].set(vals)
+
+    got = dsp.conv_aggregate(g, vpad, ("sum", "max", "mean"))
+    assert got.shape == (plan.n_pad, 3, f)
+    ref = multi_aggregate(jnp.asarray(vals), jnp.asarray(senders),
+                          jnp.asarray(receivers), ("sum", "max", "mean"))
+    np.testing.assert_allclose(np.asarray(got)[:n], np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_loader_emits_static_kernel_plans():
+    """GraphLoader(kernel_plans=True) must give every batch a plan whose
+    array shapes are budget-static (one jit compilation)."""
+    from egc_tpu.data.loaders import GraphLoader, padding_budget
+    from egc_tpu.data import synthetic
+
+    splits = synthetic.synthetic_zinc(num_graphs=40)
+    graphs = splits["train"]
+    budget = padding_budget(graphs, 8,
+                            node_multiple=GraphLoader.PLAN_BLOCK)
+    loader = GraphLoader(graphs, 8, shuffle=True, budget=budget,
+                         kernel_plans=True, seed=0)
+    shapes = set()
+    for g, _y in loader:
+        plan = g.kernel_plan
+        assert plan is not None
+        assert plan.n_pad == budget[0]
+        shapes.add((plan.fwd.senders.shape, plan.fwd.cell_ptr.shape,
+                    plan.bwd.senders.shape, plan.deg.shape))
+    assert len(shapes) == 1

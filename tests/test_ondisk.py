@@ -159,3 +159,39 @@ def test_load_ogbn_mag_hetero(tmp_path, monkeypatch):
     s, r = d["edges"]["paper__to__author"]
     assert set(zip(s.tolist(), r.tolist())) == {(1, 0), (3, 2)}
     assert d["num_classes"] == 2
+
+
+def test_load_cifar10_superpixels(tmp_path, monkeypatch):
+    import torch
+
+    monkeypatch.setenv("DATASET_LOC", str(tmp_path))
+    raw = tmp_path / "CIFAR10" / "raw"
+    raw.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+
+    def mk(n):
+        items = []
+        for i in range(n):
+            nn = int(rng.integers(3, 6))
+            items.append({
+                "x": torch.tensor(rng.normal(size=(nn, 3)),
+                                  dtype=torch.float32),
+                "pos": torch.tensor(rng.random(size=(nn, 2)),
+                                    dtype=torch.float32),
+                "edge_index": torch.tensor(
+                    rng.integers(0, nn, size=(2, 2 * nn))),
+                "y": torch.tensor([int(rng.integers(0, 10))]),
+            })
+        return items
+
+    for split, n in (("train", 4), ("val", 2), ("test", 2)):
+        torch.save(mk(n), raw / f"CIFAR10_{split}.pt")
+
+    d = ondisk.load_cifar10_superpixels()
+    assert len(d["train"]) == 4 and len(d["val"]) == 2 and len(d["test"]) == 2
+    g = d["train"][0]
+    # pos concatenated onto x: 5 input features (reference
+    # cifar/configs.py:37-39)
+    assert g["nodes"].shape[1] == 5
+    assert g["senders"].dtype == np.int32
+    assert 0 <= g["y"][0] < 10

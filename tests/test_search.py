@@ -38,11 +38,27 @@ def test_strategies_generate():
 def test_pruner_prunes_bad_trials():
     pruner = AsyncHyperBandPruner("min", grace_period=5, reduction_factor=2,
                                   max_t=40)
-    # good trials at the rung, then a bad one
+    # good trials reaching the rung, then a bad one
     for v in (0.1, 0.2, 0.3):
+        pruner.start_trial()
         pruner(5, v)
-    assert pruner(5, 5.0) is True       # clearly below the median cutoff
+    pruner.start_trial()
     assert pruner(3, 5.0) is False      # not a rung iteration
+    assert pruner(5, 5.0) is True       # clearly below the median cutoff
+
+
+def test_pruner_uses_best_so_far():
+    # AsyncHyperBand compares each trial's BEST-so-far at the rung: a trial
+    # that already achieved a good score is kept even if the rung-iteration
+    # value regressed
+    pruner = AsyncHyperBandPruner("min", grace_period=5, reduction_factor=2,
+                                  max_t=40)
+    for v in (0.2, 0.3, 0.4):
+        pruner.start_trial()
+        pruner(5, v)
+    pruner.start_trial()
+    pruner(2, 0.05)                      # early good score
+    assert pruner(5, 9.9) is False       # regressed at rung, best-so-far ok
 
 
 def test_run_search_small(tmp_path):
