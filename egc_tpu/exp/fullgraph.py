@@ -324,11 +324,12 @@ class PartitionedArxivConfig(ArxivConfig):
         data = getattr(self, "_last_pdata", None)
         nfeat = data["num_features"] if data else 128
         ncls = data["num_classes"] if data else 40
+        e_int = data["plan"].e_interior if data else None
         return DistributedNodeClassifier(
             conv=self.conv_spec(), hidden_dim=self.hidden,
             num_layers=self.num_layers,
             dropout=float(hparams.get("dropout", 0.2)), residual=True,
-            num_features=nfeat, num_classes=ncls)
+            num_features=nfeat, num_classes=ncls, e_interior=e_int)
 
     def init_state(self, model, hparams, data, seed: int) -> TrainState:
         from egc_tpu.parallel import init_partitioned

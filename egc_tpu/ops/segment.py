@@ -138,6 +138,153 @@ def segment_softmax(logits, segment_ids, num_segments: int, *, mask=None,
     return ex / denom[segment_ids]
 
 
+NEG_BIG = -3.0e38
+
+
+def segment_primitives(
+    src_vals,                      # [M, F] sender-side values
+    senders,                       # [E] indices into src_vals
+    receivers,                     # [E] indices into [num_segments)
+    prims: Sequence[str],          # ⊆ {sum, wsum, sumsq, max, min, count}
+    num_segments: int,
+    *,
+    edge_mask=None,
+    edge_w=None,                   # [E] weights for "wsum"
+    indices_are_sorted: bool = False,
+):
+    """Edge-sweep primitives as a dict — the decomposable layer underneath
+    ``multi_aggregate``. Partial results over edge SUBSETS combine exactly:
+    sum/wsum/sumsq/count add, max/min combine via max/min (empty segments
+    hold +-NEG_BIG until assembly). Used by the overlapped halo-exchange
+    path (interior + boundary partials) and shared with the fused-kernel
+    assembly."""
+    gathered = jnp.take(src_vals, senders, axis=0)
+    sorted_hint = indices_are_sorted and edge_mask is None
+    ids = _masked_ids(receivers, num_segments, edge_mask)
+    out = {}
+    for p in prims:
+        if p == "sum":
+            out[p] = jax.ops.segment_sum(gathered, ids,
+                                         num_segments=num_segments,
+                                         indices_are_sorted=sorted_hint)
+        elif p == "wsum":
+            w = edge_w[:, None].astype(gathered.dtype)
+            out[p] = jax.ops.segment_sum(gathered * w, ids,
+                                         num_segments=num_segments,
+                                         indices_are_sorted=sorted_hint)
+        elif p == "sumsq":
+            out[p] = jax.ops.segment_sum(gathered * gathered, ids,
+                                         num_segments=num_segments,
+                                         indices_are_sorted=sorted_hint)
+        elif p == "count":
+            out[p] = segment_count(receivers, num_segments, mask=edge_mask,
+                                   indices_are_sorted=indices_are_sorted,
+                                   dtype=src_vals.dtype)
+        elif p == "max":
+            out[p] = jax.ops.segment_max(gathered, ids,
+                                         num_segments=num_segments,
+                                         indices_are_sorted=sorted_hint)
+        elif p == "min":
+            out[p] = -jax.ops.segment_max(-gathered, ids,
+                                          num_segments=num_segments,
+                                          indices_are_sorted=sorted_hint)
+        else:  # pragma: no cover
+            raise ValueError(p)
+    return out
+
+
+def combine_primitives(a: dict, b: dict) -> dict:
+    """Exact combination of primitive partials over disjoint edge subsets."""
+    out = {}
+    for k in a:
+        if k in ("max",):
+            out[k] = jnp.maximum(a[k], b[k])
+        elif k in ("min",):
+            out[k] = jnp.minimum(a[k], b[k])
+        else:
+            out[k] = a[k] + b[k]
+    return out
+
+
+def prims_needed(aggrs: Sequence[str]):
+    """The primitive set an aggregator list requires."""
+    needs = {canonical_aggr(a) for a in aggrs}
+    prims = []
+    if needs & {"sum", "mean", "var", "std"}:
+        prims.append("sum")
+    if "symnorm" in needs:
+        prims.append("wsum")
+    if needs & {"var", "std"}:
+        prims.append("sumsq")
+    if needs & {"mean", "max", "min", "var", "std"}:
+        prims.append("count")
+    if "max" in needs:
+        prims.append("max")
+    if "min" in needs:
+        prims.append("min")
+    return tuple(prims)
+
+
+def assemble_aggregators(
+    p: dict,                       # primitives (see segment_primitives)
+    node_vals,                     # [N, F] self values (for virtual loops)
+    aggrs: Sequence[str],
+    *,
+    include_self: bool = False,
+    symnorm_self_w=None,
+):
+    """Node-level assembly of final aggregators from primitives — same
+    semantics as ``multi_aggregate`` (empty -> 0, min=-max(-x), std eps).
+    Returns [N, A, F]."""
+    aggrs = [canonical_aggr(a) for a in aggrs]
+    counts = p.get("count")
+    outs = []
+    for a in aggrs:
+        if a == "sum":
+            out = p["sum"] + node_vals if include_self else p["sum"]
+        elif a == "mean":
+            if include_self:
+                out = (p["sum"] + node_vals) / \
+                    jnp.maximum(counts + 1.0, 1.0)[:, None]
+            else:
+                out = p["sum"] / jnp.maximum(counts, 1.0)[:, None]
+        elif a == "max":
+            has = (counts > 0)[:, None]
+            if include_self:
+                out = jnp.maximum(jnp.where(has, p["max"], node_vals),
+                                  node_vals)
+            else:
+                out = jnp.where(has, p["max"], jnp.zeros_like(node_vals))
+        elif a == "min":
+            has = (counts > 0)[:, None]
+            if include_self:
+                out = jnp.minimum(jnp.where(has, p["min"], node_vals),
+                                  node_vals)
+            else:
+                out = jnp.where(has, p["min"], jnp.zeros_like(node_vals))
+        elif a in ("var", "std"):
+            if include_self:
+                denom = jnp.maximum(counts + 1.0, 1.0)[:, None]
+                m = (p["sum"] + node_vals) / denom
+                msq = (p["sumsq"] + node_vals * node_vals) / denom
+            else:
+                denom = jnp.maximum(counts, 1.0)[:, None]
+                m = p["sum"] / denom
+                msq = p["sumsq"] / denom
+            out = msq - m * m
+            if a == "std":
+                out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
+        elif a == "symnorm":
+            out = p["wsum"]
+            if symnorm_self_w is not None:
+                out = out + symnorm_self_w[:, None].astype(out.dtype) * \
+                    node_vals
+        else:  # pragma: no cover
+            raise ValueError(a)
+        outs.append(out)
+    return jnp.stack(outs, axis=1)
+
+
 def multi_aggregate(
     node_vals,                     # [N, F] values to aggregate (e.g. bases)
     senders,                       # [E]

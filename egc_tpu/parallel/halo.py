@@ -33,6 +33,104 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
 
+class EGConvOverlap(nn.Module):
+    """EGConv with the halo exchange OVERLAPPED with the interior sweep.
+
+    Parameter-tree compatible with ``egc_tpu.nn.conv.EGConv`` (same
+    submodule names: bases/comb/bias), so single-device checkpoints apply
+    directly. Math is identical; only the schedule differs: the
+    ``all_to_all`` for boundary-sender features is issued FIRST with no
+    data dependency on the interior work, so XLA's latency-hiding
+    scheduler runs it concurrently with the owned-row bases/comb matmuls
+    and the interior-edge aggregation (edges ``[0, e_interior)`` have
+    owned senders — ``egc_tpu.parallel.partition`` lays them out first).
+    Interior and boundary partial aggregations combine exactly at the
+    primitive level (BASELINE north star: "overlapping the halo exchange
+    with local aggregation").
+    """
+
+    out_channels: int
+    e_interior: int
+    num_heads: int = 8
+    num_bases: int = 4
+    aggrs: Tuple[str, ...] = ("symnorm",)
+    weighting: str = "none"
+    self_loop_mode: str = "paper"
+    use_bias: bool = True
+    axis: str = "graph"
+
+    @nn.compact
+    def __call__(self, g: Graph, x, send_idx, *, train: bool = False):
+        import jax.numpy as jnp  # noqa: F811 (clarity)
+        from egc_tpu.nn import init as einit
+        from egc_tpu.ops.segment import (
+            canonical_aggr, prims_needed, segment_primitives,
+            combine_primitives, assemble_aggregators,
+        )
+
+        H, B = self.num_heads, self.num_bases
+        aggrs = tuple(canonical_aggr(a) for a in self.aggrs)
+        A = len(aggrs)
+        O = self.out_channels
+        L = O // H
+        num_parts, halo = send_idx.shape
+        n_ext = x.shape[0]
+        n_local = n_ext - num_parts * halo
+        x_own = x[:n_local]
+
+        # 1. issue the halo exchange first — independent of everything below
+        send = jnp.take(x_own, send_idx, axis=0)            # [P, H, F]
+        recv = jax.lax.all_to_all(send, self.axis, split_axis=0,
+                                  concat_axis=0)
+        recv = recv.reshape(num_parts * halo, -1)
+
+        # 2. owned-row compute (overlaps with the collective)
+        bases_dense = nn.Dense(B * L, use_bias=False,
+                               kernel_init=einit.glorot_per_base(B),
+                               name="bases")
+        bases_o = bases_dense(x_own)
+        fan_in = x.shape[-1]
+        w = nn.Dense(H * B * A, kernel_init=einit.torch_linear_kernel,
+                     bias_init=einit.torch_linear_bias(fan_in),
+                     name="comb")(x_own)
+        if self.weighting == "softmax":
+            w = nn.softmax(w.reshape(n_local, H, B * A), axis=-1)
+        elif self.weighting == "sigmoid":
+            w = nn.sigmoid(w)
+        elif self.weighting == "hardtanh":
+            w = jnp.clip(w, -1.0, 1.0)
+        w = w.reshape(n_local, H, B, A)
+
+        prims = prims_needed(aggrs)
+        ei = self.e_interior
+        ew = g.edge_weight if "symnorm" in aggrs else None
+        p_int = segment_primitives(
+            bases_o, g.senders[:ei], g.receivers[:ei], prims, n_local,
+            edge_mask=g.edge_mask[:ei],
+            edge_w=None if ew is None else ew[:ei])
+
+        # 3. boundary contribution (depends on recv)
+        bases_h = bases_dense(recv)
+        p_bnd = segment_primitives(
+            bases_h, g.senders[ei:] - n_local, g.receivers[ei:], prims,
+            n_local, edge_mask=g.edge_mask[ei:],
+            edge_w=None if ew is None else ew[ei:])
+
+        p = combine_primitives(p_int, p_bnd)
+        include_self = self.self_loop_mode == "all"
+        ssw = g.self_weight[:n_local] if (g.self_weight is not None and
+                                          "symnorm" in aggrs) else None
+        y = assemble_aggregators(p, bases_o, aggrs,
+                                 include_self=include_self,
+                                 symnorm_self_w=ssw)
+        y = y.reshape(n_local, A, B, L)
+        z = jnp.einsum("nhba,nabl->nhl", w, y).reshape(n_local, O)
+        if self.use_bias:
+            z = z + self.param("bias", nn.initializers.zeros, (O,),
+                               jnp.float32)
+        return jnp.pad(z, ((0, n_ext - n_local), (0, 0)))
+
+
 def halo_refresh(x_ext, send_idx, axis: str = "graph"):
     """Refresh halo rows from their owners.
 
@@ -64,26 +162,45 @@ class DistributedNodeClassifier(nn.Module):
     num_classes: int = 40
     axis: str = "graph"
     use_embed: bool = True
+    e_interior: Optional[int] = None   # static interior-edge split from
+    # PartitionPlan.e_interior; enables the overlapped EGC path
 
     @nn.compact
     def __call__(self, g: Graph, send_idx, *, train: bool):
         refresh = lambda h: halo_refresh(h, send_idx, self.axis)  # noqa: E731
+        overlap = self.conv.kind == "egc" and self.e_interior is not None
         x = g.nodes
         if self.use_embed:
             x = _torch_dense(self.hidden_dim, self.num_features,
                              name="embed")(x)
-        x = refresh(x)
+        if not overlap:
+            x = refresh(x)
         for i in range(self.num_layers):
             identity = x
-            x = self.conv.build(self.hidden_dim, i, self.num_layers)(
-                g, x, train=train)
+            if overlap:
+                # exchange-inside-conv: halo all_to_all overlapped with the
+                # interior sweep; halo rows of x stay stale (never read)
+                weighting = ("softmax" if self.conv.softmax else
+                             "sigmoid" if self.conv.sigmoid else
+                             "hardtanh" if self.conv.hardtanh else "none")
+                x = EGConvOverlap(
+                    self.hidden_dim, e_interior=self.e_interior,
+                    num_heads=self.conv.heads, num_bases=self.conv.bases,
+                    aggrs=tuple(self.conv.aggrs), weighting=weighting,
+                    self_loop_mode=self.conv.self_loop_mode,
+                    axis=self.axis, name=f"EGConv_{i}")(
+                        g, x, send_idx, train=train)
+            else:
+                x = self.conv.build(self.hidden_dim, i, self.num_layers)(
+                    g, x, train=train)
             x = MaskedBatchNorm(axis_name=self.axis)(
                 x, g.node_mask, use_running_average=not train)
             x = nn.relu(x)
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
             if self.residual:
                 x = x + identity
-            x = refresh(x)
+            if not overlap:
+                x = refresh(x)
         x = _torch_dense(self.num_classes, self.hidden_dim, name="out")(x)
         return nn.log_softmax(x, axis=-1)
 
