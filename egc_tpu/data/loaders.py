@@ -66,6 +66,7 @@ class GraphLoader:
         budget: Optional[Tuple[int, int, int]] = None,
         drop_last: bool = False,
         kernel_plans: bool = False,
+        cache_limit_bytes: int = 4 << 30,
     ):
         self.graphs = graphs
         self.batch_size = batch_size
@@ -82,7 +83,13 @@ class GraphLoader:
                 f"node_multiple={self.PLAN_BLOCK})")
         self.drop_last = drop_last
         # eval loaders iterate the identical batches every epoch: build once
+        # — but only while under cache_limit_bytes (real code2's 452k padded
+        # ASTs would be tens of GB; beyond the limit batches are re-built
+        # per epoch instead of held in host RAM)
+        self.cache_limit_bytes = cache_limit_bytes
         self._cache = None if shuffle else []
+        self._cache_bytes = 0
+        self._cache_complete = False
 
     def __len__(self) -> int:
         n = len(self.graphs)
@@ -90,9 +97,12 @@ class GraphLoader:
             (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Tuple[Graph, np.ndarray]]:
-        if self._cache:
+        if self._cache_complete:
             yield from self._cache
             return
+        if self._cache is not None:
+            self._cache = []        # restart partial cache (early break)
+            self._cache_bytes = 0
         order = np.arange(len(self.graphs))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -114,9 +124,19 @@ class GraphLoader:
                     fwd_window_rows=self.PLAN_BLOCK,
                     bwd_block_rows=self.PLAN_BLOCK,
                     bwd_window_rows=self.PLAN_BLOCK,
+                    bwd_narrow_window_rows=None,
                     has_padding_row=True)
                 g = g.replace(kernel_plan=plan)
             item = (g, y)
             if self._cache is not None:
-                self._cache.append(item)
+                import jax
+                self._cache_bytes += sum(
+                    a.nbytes for a in jax.tree.leaves(item)
+                    if hasattr(a, "nbytes"))
+                if self._cache_bytes > self.cache_limit_bytes:
+                    self._cache = None      # too big: rebuild per epoch
+                else:
+                    self._cache.append(item)
             yield item
+        if self._cache is not None:
+            self._cache_complete = True

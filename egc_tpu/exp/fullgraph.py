@@ -381,9 +381,11 @@ class SampledMagConfig(MagConfig):
     ogbn-mag, neighbor-sampled"). Seeds shard naturally across devices for
     sampling-parallel DP training.
 
-    Note the semantics change vs full-graph training: symnorm degrees are
-    the SAMPLED subgraph's (standard GraphSAGE-style estimator), so this is
-    a different estimator of the same objective, not a bit-identical one.
+    Training uses the sampled-subgraph symnorm estimator (standard
+    GraphSAGE-style); EVALUATION runs a deterministic full-graph forward
+    (no sampling), matching the reference's full-graph metric protocol
+    (reference mag/configs.py:34) — so val/test/train accuracies are exact,
+    not stochastic estimates.
     """
 
     def __init__(self, *args, fanouts=(15, 10), batch_size: int = 512,
@@ -407,7 +409,10 @@ class SampledMagConfig(MagConfig):
                 self.batch_size, shuffle=(split == "train"),
                 rng_seed=zlib.crc32(split.encode()) % (2 ** 31))
         self._avg_log_deg = 1.0
-        return {"loaders": loaders, "num_classes": raw["num_classes"]}
+        # deterministic full-graph eval data (reference metric protocol)
+        full = full_graph_to_device_dict(raw)
+        return {"loaders": loaders, "num_classes": raw["num_classes"],
+                "full": full}
 
     def init_state(self, model, hparams, data, seed: int) -> TrainState:
         g, _, _ = next(iter(data["loaders"]["val"]))
@@ -431,16 +436,17 @@ class SampledMagConfig(MagConfig):
         return state, {"train_loss": total / max(batches, 1)}
 
     def val(self, model, state, data):
+        # full-graph deterministic evaluation (reference mag/configs.py:34);
+        # the conv layers are graph-generic, so the sampled-trained params
+        # apply directly to the full graph
         _, eval_step = self._steps(model)
+        full = data["full"]
+        out = eval_step(state, full["graph"])
+        pred = jnp.argmax(out, axis=-1)
         metrics = {}
-        for split, key in (("val", "val_acc"), ("test", "test_acc")):
-            correct, count = 0.0, 0.0
-            for g, yb, seed_mask in data["loaders"][split]:
-                g = jax.tree.map(jnp.asarray, g)
-                out = eval_step(state, g)
-                pred = np.asarray(jnp.argmax(out, axis=-1))
-                correct += float(((pred == yb) & seed_mask).sum())
-                count += float(seed_mask.sum())
-            metrics[key] = correct / max(count, 1.0)
-        metrics["train_acc"] = metrics["val_acc"]  # not separately tracked
+        for split, key in (("train", "train_acc"), ("val", "val_acc"),
+                           ("test", "test_acc")):
+            m = full["masks"][split]
+            correct = jnp.sum((pred == full["y"]) & m)
+            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
         return metrics

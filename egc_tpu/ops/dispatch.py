@@ -48,11 +48,18 @@ class WindowPlanDev:
 
 @struct.dataclass
 class GraphKernelPlan:
-    """Static edge layouts for the fused kernels (one per graph)."""
+    """Static edge layouts for the fused kernels (one per graph).
+
+    Two transpose (backward) layouts: ``bwd`` uses wide coeff windows —
+    fastest, but its VMEM footprint scales with the packed coefficient
+    width, so aggregator sets needing >4 coeff segments dispatch to
+    ``bwd_narrow`` (smaller windows) instead.
+    """
 
     fwd: WindowPlanDev
-    bwd: WindowPlanDev              # transposed graph
+    bwd: WindowPlanDev              # transposed graph, wide windows
     deg: jnp.ndarray                # [n_pad] float in-degree (valid edges)
+    bwd_narrow: Optional[WindowPlanDev] = None
     n_pad: int = struct.field(pytree_node=False, default=0)
 
 
@@ -65,7 +72,8 @@ def build_kernel_plan(
     fwd_block_rows: int = 2048,
     fwd_window_rows: int = 4096,
     bwd_block_rows: int = 4096,
-    bwd_window_rows: int = 512,
+    bwd_window_rows: int = 2048,
+    bwd_narrow_window_rows: Optional[int] = 512,
     has_padding_row: bool = False,
 ) -> GraphKernelPlan:
     """Host-side plan builder (call once per static graph).
@@ -78,7 +86,7 @@ def build_kernel_plan(
     extra aligned block.
     """
     align = max(fwd_block_rows, fwd_window_rows, bwd_block_rows,
-                bwd_window_rows)
+                bwd_window_rows, bwd_narrow_window_rows or 0)
     if has_padding_row:
         n_pad = ((num_nodes + align - 1) // align) * align
     else:
@@ -99,6 +107,12 @@ def build_kernel_plan(
                                 block_rows=bwd_block_rows,
                                 window_rows=bwd_window_rows)
     assert fplan["n_pad"] == n_pad and bplan["n_pad"] == n_pad
+    bplan_narrow = None
+    if bwd_narrow_window_rows:
+        bplan_narrow = make_window_plan_np(
+            receivers, senders, n_pad, block_rows=bwd_block_rows,
+            window_rows=bwd_narrow_window_rows)
+        assert bplan_narrow["n_pad"] == n_pad
 
     deg = np.zeros(n_pad, np.float32)
     np.add.at(deg, receivers, 1.0)
@@ -112,8 +126,10 @@ def build_kernel_plan(
             r_blocks=p["R"], s_blocks=p["S"],
             block_rows=p["block_rows"], window_rows=p["window_rows"])
 
-    return GraphKernelPlan(fwd=to_dev(fplan), bwd=to_dev(bplan),
-                           deg=jnp.asarray(deg), n_pad=n_pad)
+    return GraphKernelPlan(
+        fwd=to_dev(fplan), bwd=to_dev(bplan),
+        bwd_narrow=to_dev(bplan_narrow) if bplan_narrow else None,
+        deg=jnp.asarray(deg), n_pad=n_pad)
 
 
 def fused_multi_aggregate(
@@ -145,6 +161,13 @@ def fused_multi_aggregate(
         prims.append("min")
     prims = tuple(prims)
 
+    # coeff segments the backward pass will stream: wide bwd windows are
+    # only VMEM-safe up to 4 segments (see GraphKernelPlan docstring)
+    nsegs = (("sum" in prims) + ("wsum" in prims) + ("sumsq" in prims)
+             + 2 * ("max" in prims) + 2 * ("min" in prims))
+    bwd_plan = plan.bwd if (nsegs <= 4 or plan.bwd_narrow is None) \
+        else plan.bwd_narrow
+
     ew_f = ew_b = None
     if "wsum" in prims:
         if symnorm_edge_w is None:
@@ -155,9 +178,9 @@ def fused_multi_aggregate(
         # sees a stopped gradient rather than silently training with zeros.
         symnorm_edge_w = jax.lax.stop_gradient(symnorm_edge_w)
         ew_f = jnp.take(symnorm_edge_w, plan.fwd.edge_perm)
-        ew_b = jnp.take(symnorm_edge_w, plan.bwd.edge_perm)
+        ew_b = jnp.take(symnorm_edge_w, bwd_plan.edge_perm)
 
-    prim_outs = _fused_primitives(plan, prims, ew_f, ew_b)(vals)
+    prim_outs = _fused_primitives(plan.fwd, bwd_plan, prims, ew_f, ew_b)(vals)
     p = dict(zip(prims, prim_outs))
 
     # ---- differentiable node-level assembly -----------------------------
@@ -208,26 +231,26 @@ def _fused_primitives_cached(prims: Tuple[str, ...]):
     """custom_vjp factory keyed by the primitive set (plans/weights are
     passed as residual-closure via the wrapper below)."""
 
-    def impl(vals, plan, ew_f, ew_b):
+    def impl(vals, fwd, bwd, ew_f, ew_b):
         return windowed_gather_reduce(
-            vals, plan.fwd.senders, plan.fwd.receivers, plan.fwd.cell_ptr,
-            r_blocks=plan.fwd.r_blocks, s_blocks=plan.fwd.s_blocks,
-            block_rows=plan.fwd.block_rows,
-            window_rows=plan.fwd.window_rows,
+            vals, fwd.senders, fwd.receivers, fwd.cell_ptr,
+            r_blocks=fwd.r_blocks, s_blocks=fwd.s_blocks,
+            block_rows=fwd.block_rows,
+            window_rows=fwd.window_rows,
             ops=prims, edge_w=ew_f)
 
     @jax.custom_vjp
-    def f(vals, plan, ew_f, ew_b):
-        return impl(vals, plan, ew_f, ew_b)
+    def f(vals, fwd, bwd, ew_f, ew_b):
+        return impl(vals, fwd, bwd, ew_f, ew_b)
 
-    def f_fwd(vals, plan, ew_f, ew_b):
-        outs = impl(vals, plan, ew_f, ew_b)
+    def f_fwd(vals, fwd, bwd, ew_f, ew_b):
+        outs = impl(vals, fwd, bwd, ew_f, ew_b)
         p = dict(zip(prims, outs))
-        residual = (vals, plan, ew_b, p.get("max"), p.get("min"))
+        residual = (vals, fwd, bwd, ew_b, p.get("max"), p.get("min"))
         return outs, residual
 
     def f_bwd(residual, cts):
-        vals, plan, ew_b, mx, mn = residual
+        vals, fwd, bwd, ew_b, mx, mn = residual
         ct = dict(zip(prims, cts))
         segs, cols = [], []
         if "sum" in ct:
@@ -247,11 +270,11 @@ def _fused_primitives_cached(prims: Tuple[str, ...]):
             cols.extend([mn, ct["min"]])
         coeff = jnp.concatenate(cols, axis=1)
         d_vals = windowed_gather_reduce_bwd(
-            coeff, vals, plan.bwd.senders, plan.bwd.receivers,
-            plan.bwd.cell_ptr, segs=tuple(segs),
-            r_blocks=plan.bwd.r_blocks, s_blocks=plan.bwd.s_blocks,
-            block_rows=plan.bwd.block_rows,
-            window_rows=plan.bwd.window_rows,
+            coeff, vals, bwd.senders, bwd.receivers,
+            bwd.cell_ptr, segs=tuple(segs),
+            r_blocks=bwd.r_blocks, s_blocks=bwd.s_blocks,
+            block_rows=bwd.block_rows,
+            window_rows=bwd.window_rows,
             edge_w=ew_b if "c_wsum" in segs else None)
         # plan / edge-weight args are graph constants: zero cotangents
         # (float0 for integer leaves, per the custom_vjp contract).
@@ -262,16 +285,16 @@ def _fused_primitives_cached(prims: Tuple[str, ...]):
                 return jnp.zeros_like(x)
             return np.zeros(x.shape, jax.dtypes.float0)
 
-        return (d_vals, jax.tree.map(zero_ct, plan), zero_ct(ew_b),
-                zero_ct(ew_b))
+        return (d_vals, jax.tree.map(zero_ct, fwd),
+                jax.tree.map(zero_ct, bwd), zero_ct(ew_b), zero_ct(ew_b))
 
     f.defvjp(f_fwd, f_bwd)
     return f
 
 
-def _fused_primitives(plan, prims, ew_f, ew_b):
+def _fused_primitives(fwd_plan, bwd_plan, prims, ew_f, ew_b):
     fn = _fused_primitives_cached(tuple(prims))
-    return lambda vals: fn(vals, plan, ew_f, ew_b)
+    return lambda vals: fn(vals, fwd_plan, bwd_plan, ew_f, ew_b)
 
 
 def conv_aggregate(g, x, aggrs, *, include_self: bool = False,

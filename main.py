@@ -132,13 +132,17 @@ def dump_invocation_state(exp_dir: Path):
 @click.option("--partitions", type=int, default=0,
               help="graph-partitioned training across N devices "
                    "(full-graph tasks; halo exchange over the mesh)")
+@click.option("--search-workers", type=int, default=0,
+              help="run the hyperparameter search across N CPU worker "
+                   "processes (trial parallelism, the Ray role; the chip "
+                   "stays free for the final runs)")
 @click.option("--synthetic/--real", default=True,
               help="synthetic datasets (default; no-egress environment) or "
                    "real datasets from DATASET_LOC")
 def main(exp_directory, model, dataset, num_samples, check, check_epochs,
          use_default_hparams, hparams, egc_num_bases, egc_num_heads,
          final_runs, aggrs, hidden, seed_base, use_old_code_dataset,
-         pretrained, partitions, synthetic):
+         pretrained, partitions, search_workers, synthetic):
     exp_directory = Path(exp_directory).expanduser()
     exp_directory.mkdir(parents=True, exist_ok=True)
 
@@ -173,6 +177,24 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
     elif use_default_hparams:
         best_hparams = config.default_hparams()
         print("Using default hyperparams:", best_hparams)
+    elif search_workers > 1:
+        # trial parallelism across worker processes (the Ray role)
+        import numpy as np
+        from egc_tpu.exp.parallel_search import run_search_parallel
+        metric = config.trial_metric()
+        rng = np.random.default_rng(seed_base)
+        candidates = config.search_strategy().generate(
+            config.hyperparams(), rng)
+        spec = ("main", "build_config", (dataset, model), dict(
+            hidden=hidden, heads=egc_num_heads, bases=egc_num_bases,
+            aggrs=aggrs, num_samples=num_samples, synthetic=synthetic,
+            use_old_code_dataset=use_old_code_dataset,
+            partitions=partitions))
+        best_hparams = run_search_parallel(
+            spec, candidates, metric_mode=metric.mode,
+            metric_name=metric.name, num_workers=search_workers,
+            exp_dir=exp_directory, seed=seed_base)
+        print("Best hparams:", best_hparams)
     else:
         # strategy + scheduler come from config.search_strategy() /
         # config.trial_scheduler() (reference exptune hook surface)
