@@ -124,7 +124,7 @@ class GraphLoader:
                     fwd_window_rows=self.PLAN_BLOCK,
                     bwd_block_rows=self.PLAN_BLOCK,
                     bwd_window_rows=self.PLAN_BLOCK,
-                    bwd_narrow_window_rows=None,
+                    bwd_narrow_window_rows=None, attention=False,
                     has_padding_row=True)
                 g = g.replace(kernel_plan=plan)
             item = (g, y)

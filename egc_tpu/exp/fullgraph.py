@@ -52,13 +52,14 @@ def full_graph_to_device_dict(raw: Dict[str, Any], *,
     n = raw["x"].shape[0]
     plan = None
     num_nodes_pad = _round_up(n + 1, 8)
-    if use_kernel:
-        plan = build_kernel_plan(raw["senders"], raw["receivers"], n)
-        num_nodes_pad = plan.n_pad
-    # precompute global symnorm weights (transductive cache; also required
-    # by the fused path, which needs them in original edge order)
+    # precompute global symnorm weights (transductive cache; the fused path
+    # gets them pre-permuted into plan order at plan build)
     ew, sw = _symw(jnp.asarray(raw["senders"]), jnp.asarray(raw["receivers"]),
                    n)
+    if use_kernel:
+        plan = build_kernel_plan(raw["senders"], raw["receivers"], n,
+                                 edge_weight=_np.asarray(ew))
+        num_nodes_pad = plan.n_pad
     g = Graph.from_coo(raw["x"], raw["senders"], raw["receivers"])
     g = g.replace(edge_weight=_np.asarray(ew),
                   self_weight=_np.asarray(sw))

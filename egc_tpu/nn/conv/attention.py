@@ -69,8 +69,60 @@ class _AttentionConvBase(nn.Module):
         return out
 
 
+def _attn_cp(heads: int, channels: int) -> int:
+    """Smallest power-of-two per-head width >= channels with H*cp a lane
+    multiple (the fused kernel's head-fold needs a power of two)."""
+    cp = 1
+    while cp < channels or (heads * cp) % 128:
+        cp *= 2
+    return cp
+
+
+def _fused_gat_softmax_sum(g, h, a_src, a_dst, self_logits, n, H, C,
+                           slope, include_self):
+    """Fused Pallas edge-softmax path: returns out [n, H, C].
+
+    Runs the flash-style kernel over edges, then combines the virtual
+    self-loop term and normalizes with the exact online-softmax merge.
+    """
+    from egc_tpu.ops.pallas.attention import gat_attention
+
+    plan = g.kernel_plan
+    cp = _attn_cp(H, C)
+    hcp = H * cp
+    # head-interleaved packing: col c*H + h_i
+    wh_int = jnp.pad(h.transpose(0, 2, 1), ((0, 0), (0, cp - C), (0, 0))
+                     ).reshape(n, hcp)
+    src_pack = jnp.concatenate(
+        [wh_int, jnp.pad(a_src, ((0, 0), (0, 128 - H)))], axis=1)
+    adst = jnp.pad(a_dst, ((0, 0), (0, 128 - H)))
+    o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp,
+                          slope=slope)
+    m_e = md[:, :H]
+    d_e = md[:, 64:64 + H]
+    o = o.reshape(n, cp, H).transpose(0, 2, 1)[:, :, :C]   # [n, H, C]
+    has = (plan.deg > 0)[:, None]
+    neg = jnp.asarray(-1e30, h.dtype)
+    m_e = jnp.where(has, m_e, neg)
+    if include_self:
+        m_full = jnp.maximum(m_e, self_logits)
+        corr = jnp.exp(m_e - m_full)
+        p_self = jnp.exp(self_logits - m_full)
+        denom = d_e * corr + p_self
+        out = (o * corr[:, :, None] + p_self[:, :, None] * h) / \
+            jnp.maximum(denom, 1e-16)[:, :, None]
+    else:
+        out = jnp.where(has[:, :, None],
+                        o / jnp.maximum(d_e, 1e-16)[:, :, None], 0.0)
+    return out
+
+
 class GATConv(_AttentionConvBase):
-    """PyG GATConv: logits_ij = LeakyReLU(a_src . Wx_j + a_dst . Wx_i)."""
+    """PyG GATConv: logits_ij = LeakyReLU(a_src . Wx_j + a_dst . Wx_i).
+
+    On TPU with a kernel-plan graph (and no active attention dropout) the
+    per-receiver softmax + weighted sum runs in the fused Pallas kernel
+    (egc_tpu.ops.pallas.attention) instead of XLA segment ops."""
 
     out_channels: int            # per-head
     heads: int = 1
@@ -89,18 +141,28 @@ class GATConv(_AttentionConvBase):
         a_src = jnp.einsum("nhc,hc->nh", h, att_src)
         a_dst = jnp.einsum("nhc,hc->nh", h, att_dst)
 
-        edge_logits = nn.leaky_relu(
-            jnp.take(a_src, g.senders, axis=0) +
-            jnp.take(a_dst, g.receivers, axis=0),
-            negative_slope=self.negative_slope)
         self_logits = nn.leaky_relu(a_src + a_dst,
                                     negative_slope=self.negative_slope)
-        alpha_e, alpha_s = _attention_alphas(
-            edge_logits, self_logits, g.receivers, n, g.edge_mask,
-            self.add_self_loops)
-        out = self._aggregate(alpha_e, alpha_s,
-                              jnp.take(h, g.senders, axis=0), h,
-                              g.receivers, n, self.dropout, train)
+
+        plan = getattr(g, "kernel_plan", None)
+        if (plan is not None and getattr(plan, "fwd_attn", None) is not None
+                and n == plan.n_pad and H <= 32
+                and (self.dropout == 0.0 or not train)
+                and jax.default_backend() == "tpu"):
+            out = _fused_gat_softmax_sum(
+                g, h, a_src, a_dst, self_logits, n, H, C,
+                self.negative_slope, self.add_self_loops)
+        else:
+            edge_logits = nn.leaky_relu(
+                jnp.take(a_src, g.senders, axis=0) +
+                jnp.take(a_dst, g.receivers, axis=0),
+                negative_slope=self.negative_slope)
+            alpha_e, alpha_s = _attention_alphas(
+                edge_logits, self_logits, g.receivers, n, g.edge_mask,
+                self.add_self_loops)
+            out = self._aggregate(alpha_e, alpha_s,
+                                  jnp.take(h, g.senders, axis=0), h,
+                                  g.receivers, n, self.dropout, train)
         out = out.reshape(n, H * C)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros, (H * C,),

@@ -40,6 +40,9 @@ class WindowPlanDev:
     receivers: jnp.ndarray
     cell_ptr: jnp.ndarray
     edge_perm: jnp.ndarray          # original edge idx -> plan position
+    edge_w: Optional[jnp.ndarray] = None   # pre-permuted edge weights
+    # (plan-order); avoids a [E] jnp.take per conv call — 1-D gathers are
+    # row-at-a-time on TPU and cost several ms each at arxiv scale
     r_blocks: int = struct.field(pytree_node=False, default=0)
     s_blocks: int = struct.field(pytree_node=False, default=0)
     block_rows: int = struct.field(pytree_node=False, default=0)
@@ -60,6 +63,10 @@ class GraphKernelPlan:
     bwd: WindowPlanDev              # transposed graph, wide windows
     deg: jnp.ndarray                # [n_pad] float in-degree (valid edges)
     bwd_narrow: Optional[WindowPlanDev] = None
+    # attention layouts: GAT rows are ~3x wider (packed Wh | logits), so
+    # the fused softmax kernels need smaller blocks to fit VMEM
+    fwd_attn: Optional[WindowPlanDev] = None
+    bwd_attn: Optional[WindowPlanDev] = None
     n_pad: int = struct.field(pytree_node=False, default=0)
 
 
@@ -74,7 +81,9 @@ def build_kernel_plan(
     bwd_block_rows: int = 4096,
     bwd_window_rows: int = 2048,
     bwd_narrow_window_rows: Optional[int] = 512,
+    attention: bool = True,
     has_padding_row: bool = False,
+    edge_weight: Optional[np.ndarray] = None,
 ) -> GraphKernelPlan:
     """Host-side plan builder (call once per static graph).
 
@@ -113,22 +122,36 @@ def build_kernel_plan(
             receivers, senders, n_pad, block_rows=bwd_block_rows,
             window_rows=bwd_narrow_window_rows)
         assert bplan_narrow["n_pad"] == n_pad
+    fplan_attn = bplan_attn = None
+    if attention and n_pad % 1024 == 0:
+        fplan_attn = make_window_plan_np(senders, receivers, n_pad,
+                                         block_rows=1024, window_rows=1024)
+        bplan_attn = make_window_plan_np(receivers, senders, n_pad,
+                                         block_rows=1024, window_rows=512)
+        assert fplan_attn["n_pad"] == n_pad and bplan_attn["n_pad"] == n_pad
 
     deg = np.zeros(n_pad, np.float32)
     np.add.at(deg, receivers, 1.0)
 
     def to_dev(p):
+        ew = None
+        if edge_weight is not None:
+            ew = jnp.asarray(
+                np.asarray(edge_weight)[kept[p["perm"]]].astype(np.float32))
         return WindowPlanDev(
             senders=jnp.asarray(p["senders"]),
             receivers=jnp.asarray(p["receivers"]),
             cell_ptr=jnp.asarray(p["cell_ptr"]),
             edge_perm=jnp.asarray(kept[p["perm"]].astype(np.int32)),
+            edge_w=ew,
             r_blocks=p["R"], s_blocks=p["S"],
             block_rows=p["block_rows"], window_rows=p["window_rows"])
 
     return GraphKernelPlan(
         fwd=to_dev(fplan), bwd=to_dev(bplan),
         bwd_narrow=to_dev(bplan_narrow) if bplan_narrow else None,
+        fwd_attn=to_dev(fplan_attn) if fplan_attn else None,
+        bwd_attn=to_dev(bplan_attn) if bplan_attn else None,
         deg=jnp.asarray(deg), n_pad=n_pad)
 
 
@@ -170,15 +193,20 @@ def fused_multi_aggregate(
 
     ew_f = ew_b = None
     if "wsum" in prims:
-        if symnorm_edge_w is None:
+        if plan.fwd.edge_w is not None:
+            # pre-permuted at plan build (the fast path for full graphs)
+            ew_f, ew_b = plan.fwd.edge_w, bwd_plan.edge_w
+        elif symnorm_edge_w is None:
             raise ValueError("symnorm requires symnorm_edge_w")
-        # The fused VJP treats edge weights as graph CONSTANTS (zero
-        # cotangent), unlike the XLA path which differentiates through
-        # them. Make that explicit so a future learned-edge-weight caller
-        # sees a stopped gradient rather than silently training with zeros.
-        symnorm_edge_w = jax.lax.stop_gradient(symnorm_edge_w)
-        ew_f = jnp.take(symnorm_edge_w, plan.fwd.edge_perm)
-        ew_b = jnp.take(symnorm_edge_w, bwd_plan.edge_perm)
+        else:
+            # The fused VJP treats edge weights as graph CONSTANTS (zero
+            # cotangent), unlike the XLA path which differentiates through
+            # them. stop_gradient makes that explicit so a future
+            # learned-edge-weight caller sees a stopped gradient rather
+            # than silently training with zeros.
+            symnorm_edge_w = jax.lax.stop_gradient(symnorm_edge_w)
+            ew_f = jnp.take(symnorm_edge_w, plan.fwd.edge_perm)
+            ew_b = jnp.take(symnorm_edge_w, bwd_plan.edge_perm)
 
     prim_outs = _fused_primitives(plan.fwd, bwd_plan, prims, ew_f, ew_b)(vals)
     p = dict(zip(prims, prim_outs))

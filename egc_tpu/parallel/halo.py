@@ -124,7 +124,8 @@ class EGConvOverlap(nn.Module):
                                  include_self=include_self,
                                  symnorm_self_w=ssw)
         y = y.reshape(n_local, A, B, L)
-        z = jnp.einsum("nhba,nabl->nhl", w, y).reshape(n_local, O)
+        from egc_tpu.nn.conv.egc import head_mix
+        z = head_mix(w, y, n_local, H, B, A, L).reshape(n_local, O)
         if self.use_bias:
             z = z + self.param("bias", nn.initializers.zeros, (O,),
                                jnp.float32)

@@ -1,0 +1,204 @@
+"""GAT fused attention kernel parity tests (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import jax.experimental.pallas as pl
+import egc_tpu.ops.pallas.attention as attn
+from egc_tpu.ops.dispatch import build_kernel_plan
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(attn.pl, "pallas_call", patched)
+
+
+def test_gat_fwd_matches_xla_softmax_sum():
+    rng = np.random.default_rng(0)
+    n, e, H, C = 200, 900, 4, 16
+    cp = 32                              # H*cp = 128
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    from egc_tpu.graph.transforms import coalesce_np
+    senders, receivers, _ = coalesce_np(senders, receivers, n)
+
+    plan = build_kernel_plan(senders, receivers, n,
+                             fwd_block_rows=128, fwd_window_rows=256,
+                             bwd_block_rows=256, bwd_window_rows=128,
+                             bwd_narrow_window_rows=None)
+    npad = plan.n_pad
+
+    wh = rng.normal(size=(n, H, C)).astype(np.float32)
+    a_src = rng.normal(size=(n, H)).astype(np.float32)
+    a_dst = rng.normal(size=(n, H)).astype(np.float32)
+
+    # pack: head-interleaved wh (col c*H+h) + a_src in trailing 128 cols
+    src_pack = np.zeros((npad, H * cp + 128), np.float32)
+    for h in range(H):
+        for c in range(C):
+            src_pack[:n, c * H + h] = wh[:, h, c]
+    src_pack[:n, H * cp:H * cp + H] = a_src
+    adst = np.zeros((npad, 128), np.float32)
+    adst[:n, :H] = a_dst
+
+    o, md = attn.gat_fwd(
+        jnp.asarray(src_pack), jnp.asarray(adst),
+        plan.fwd.senders, plan.fwd.receivers, plan.fwd.cell_ptr,
+        heads=H, cp=cp,
+        r_blocks=plan.fwd.r_blocks, s_blocks=plan.fwd.s_blocks,
+        block_rows=plan.fwd.block_rows, window_rows=plan.fwd.window_rows)
+    o = np.asarray(o)[:n]
+    m = np.asarray(md)[:n, :H]
+    d = np.asarray(md)[:n, 64:64 + H]
+
+    # XLA reference: per-receiver softmax-weighted sum (no self term)
+    z = a_src[senders] + a_dst[receivers]                  # [E, H]
+    logit = np.where(z >= 0, z, 0.2 * z)
+    ref = np.zeros((n, H, C))
+    m_ref = np.full((n, H), -np.inf)
+    np.maximum.at(m_ref, receivers, logit)
+    has = np.isfinite(m_ref)
+    p = np.exp(logit - np.where(has, m_ref, 0.0)[receivers])
+    d_ref = np.zeros((n, H))
+    np.add.at(d_ref, receivers, p)
+    np.add.at(ref, receivers, p[:, :, None] * wh[senders])
+
+    # kernel o is unnormalized with max m; compare normalized sums
+    got = np.zeros((n, H, C))
+    for h in range(H):
+        for c in range(C):
+            got[:, h, c] = o[:, c * H + h]
+    with np.errstate(invalid="ignore"):
+        norm_got = got / np.maximum(d, 1e-30)[:, :, None]
+        norm_ref = ref / np.maximum(d_ref, 1e-30)[:, :, None]
+    mask = has
+    np.testing.assert_allclose(norm_got[mask], norm_ref[mask],
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(m[mask], m_ref[mask], rtol=1e-5, atol=1e-6)
+
+
+def _mini_plan(senders, receivers, n):
+    """GraphKernelPlan with small attention layouts for interpret tests."""
+    import jax.numpy as jnp
+    from egc_tpu.ops.pallas.gather_reduce import make_window_plan_np
+    from egc_tpu.ops.dispatch import WindowPlanDev, GraphKernelPlan
+
+    align = 256
+    npad = ((n + align) // align) * align
+
+    def dev(p):
+        return WindowPlanDev(
+            senders=jnp.asarray(p["senders"]),
+            receivers=jnp.asarray(p["receivers"]),
+            cell_ptr=jnp.asarray(p["cell_ptr"]),
+            edge_perm=jnp.asarray(p["perm"].astype(np.int32)),
+            r_blocks=p["R"], s_blocks=p["S"],
+            block_rows=p["block_rows"], window_rows=p["window_rows"])
+
+    f = make_window_plan_np(senders, receivers, npad, block_rows=128,
+                            window_rows=256)
+    b = make_window_plan_np(receivers, senders, npad, block_rows=256,
+                            window_rows=128)
+    deg = np.zeros(npad, np.float32)
+    np.add.at(deg, receivers, 1.0)
+    return GraphKernelPlan(fwd=dev(f), bwd=dev(b), fwd_attn=dev(f),
+                           bwd_attn=dev(b), deg=jnp.asarray(deg),
+                           n_pad=npad)
+
+
+def test_gat_attention_value_and_grad_parity():
+    """Fused flash-softmax attention (fwd + 2-pass bwd) must match the XLA
+    segment-softmax path for values AND gradients."""
+    from egc_tpu.ops.pallas.attention import gat_attention
+    from egc_tpu.nn.conv.attention import _attention_alphas
+    from egc_tpu.graph.transforms import coalesce_np
+
+    rng = np.random.default_rng(3)
+    n, e, H, C, cp = 180, 800, 4, 16, 32
+    hcp = H * cp
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    senders, receivers, _ = coalesce_np(senders, receivers, n)
+    plan = _mini_plan(senders, receivers, n)
+    npad = plan.n_pad
+
+    wh = rng.normal(size=(npad, H, C)).astype(np.float32)
+    wh[n:] = 0.0
+    a_src = np.zeros((npad, H), np.float32)
+    a_src[:n] = rng.normal(size=(n, H))
+    a_dst = np.zeros((npad, H), np.float32)
+    a_dst[:n] = rng.normal(size=(n, H))
+    proj = rng.normal(size=(npad, H, C)).astype(np.float32)
+    proj[n:] = 0.0
+    proj = jnp.asarray(proj)
+    deg_pos = np.asarray(plan.deg) > 0
+
+    sj, rj = jnp.asarray(senders), jnp.asarray(receivers)
+
+    def fused_loss(wh, a_src, a_dst):
+        wh_int = jnp.pad(wh.transpose(0, 2, 1),
+                         ((0, 0), (0, cp - C), (0, 0))).reshape(npad, hcp)
+        src_pack = jnp.concatenate(
+            [wh_int, jnp.pad(a_src, ((0, 0), (0, 128 - H)))], axis=1)
+        adst = jnp.pad(a_dst, ((0, 0), (0, 128 - H)))
+        o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp)
+        d_e = md[:, 64:64 + H]
+        o = o.reshape(npad, cp, H).transpose(0, 2, 1)[:, :, :C]
+        has = jnp.asarray(deg_pos)[:, None, None]
+        out = jnp.where(has, o / jnp.maximum(d_e, 1e-16)[:, :, None], 0.0)
+        return jnp.sum(out * proj)
+
+    def xla_loss(wh, a_src, a_dst):
+        z = jnp.take(a_src, sj, axis=0) + jnp.take(a_dst, rj, axis=0)
+        logits = jnp.where(z >= 0, z, 0.2 * z)
+        alpha_e, _ = _attention_alphas(logits, None, rj, npad, None, False)
+        out = jax.ops.segment_sum(
+            alpha_e[:, :, None] * jnp.take(wh, sj, axis=0), rj,
+            num_segments=npad)
+        return jnp.sum(out * proj)
+
+    args = (jnp.asarray(wh), jnp.asarray(a_src), jnp.asarray(a_dst))
+    v_f, g_f = jax.value_and_grad(fused_loss, argnums=(0, 1, 2))(*args)
+    v_x, g_x = jax.value_and_grad(xla_loss, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-4)
+    for a, b, name in zip(g_f, g_x, ("wh", "a_src", "a_dst")):
+        np.testing.assert_allclose(np.asarray(a)[:n], np.asarray(b)[:n],
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_gatconv_fused_branch_matches_xla(monkeypatch):
+    """GATConv with a kernel-plan graph on 'TPU' (interpret) must match its
+    own XLA path, including virtual self-loops."""
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.nn.conv.attention import GATConv
+    from egc_tpu.graph.transforms import coalesce_np
+
+    rng = np.random.default_rng(7)
+    n, e, H, C = 150, 700, 4, 16
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    senders, receivers, _ = coalesce_np(senders, receivers, n)
+    plan = _mini_plan(senders, receivers, n)
+    npad = plan.n_pad
+
+    x = np.zeros((npad, 24), np.float32)
+    x[:n] = rng.normal(size=(n, 24))
+    g = Graph.from_coo(np.zeros((n, 1), np.float32), senders, receivers)
+    g = pad_graph(g, num_nodes=npad, num_edges=len(senders))
+
+    conv = GATConv(out_channels=C, heads=H)
+    variables = conv.init(jax.random.key(0), g, jnp.asarray(x))
+    ref = np.asarray(conv.apply(variables, g, jnp.asarray(x)))
+
+    gk = g.replace(kernel_plan=plan)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = np.asarray(conv.apply(variables, gk, jnp.asarray(x)))
+    np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-5)
