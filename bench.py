@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--hidden", type=int, default=128)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--aggrs", type=str, default="symnorm,max,mean")
     args = ap.parse_args()
 
     import jax
@@ -58,7 +59,7 @@ def main():
     hidden, heads, bases = args.hidden, 4, 4
     num_layers = 3
     conv = ConvSpec(kind="egc", heads=heads, bases=bases,
-                    aggrs=("symnorm", "max", "mean"))
+                    aggrs=tuple(args.aggrs.split(",")))
     net = ArxivNet(conv=conv, hidden_dim=hidden, num_layers=num_layers,
                    dropout=0.0, residual=True, num_features=128,
                    num_classes=40, remat=args.remat)

@@ -69,6 +69,15 @@ class _AttentionConvBase(nn.Module):
         return out
 
 
+def _fused_attention_enabled() -> bool:
+    """The fused attention kernels are value+grad-parity-tested but
+    currently land at ~XLA parity on real hardware (per-grid-step DMA
+    latency dominates on thin attention cells — see PERFORMANCE.md), so
+    they are opt-in for now."""
+    import os
+    return os.environ.get("EGC_TPU_FUSED_ATTENTION", "0") == "1"
+
+
 def _attn_cp(heads: int, channels: int) -> int:
     """Smallest power-of-two per-head width >= channels with H*cp a lane
     multiple (the fused kernel's head-fold needs a power of two)."""
@@ -148,6 +157,7 @@ class GATConv(_AttentionConvBase):
         if (plan is not None and getattr(plan, "fwd_attn", None) is not None
                 and n == plan.n_pad and H <= 32
                 and (self.dropout == 0.0 or not train)
+                and _fused_attention_enabled()
                 and jax.default_backend() == "tpu"):
             out = _fused_gat_softmax_sum(
                 g, h, a_src, a_dst, self_logits, n, H, C,
@@ -170,8 +180,45 @@ class GATConv(_AttentionConvBase):
         return out
 
 
+def _fused_gatv2_softmax_sum(g, hl, hr, att, self_logits, n, H, C,
+                             slope, include_self):
+    """Fused Pallas GATv2 edge-softmax path: returns out [n, H, C]."""
+    from egc_tpu.ops.pallas.attention import gatv2_attention
+
+    plan = g.kernel_plan
+    cp = _attn_cp(H, C)
+    hcp = H * cp
+
+    def interleave(x):          # [n, H, C] -> [n, hcp] (col c*H + h)
+        return jnp.pad(x.transpose(0, 2, 1),
+                       ((0, 0), (0, cp - C), (0, 0))).reshape(n, hcp)
+
+    att_i = jnp.pad(att.T, ((0, cp - C), (0, 0))).reshape(1, hcp)
+    att_rep = jnp.broadcast_to(att_i, (8, hcp))
+    o, md = gatv2_attention(interleave(hl), interleave(hr), att_rep, plan,
+                            heads=H, cp=cp, slope=slope)
+    m_e = md[:, :H]
+    d_e = md[:, 64:64 + H]
+    o = o.reshape(n, cp, H).transpose(0, 2, 1)[:, :, :C]
+    has = (plan.deg > 0)[:, None]
+    neg = jnp.asarray(-1e30, hl.dtype)
+    m_e = jnp.where(has, m_e, neg)
+    if include_self:
+        m_full = jnp.maximum(m_e, self_logits)
+        corr = jnp.exp(m_e - m_full)
+        p_self = jnp.exp(self_logits - m_full)
+        denom = d_e * corr + p_self
+        return (o * corr[:, :, None] + p_self[:, :, None] * hl) / \
+            jnp.maximum(denom, 1e-16)[:, :, None]
+    return jnp.where(has[:, :, None],
+                     o / jnp.maximum(d_e, 1e-16)[:, :, None], 0.0)
+
+
 class GATv2Conv(_AttentionConvBase):
-    """PyG GATv2Conv: logits_ij = a . LeakyReLU(W_l x_j + W_r x_i)."""
+    """PyG GATv2Conv: logits_ij = a . LeakyReLU(W_l x_j + W_r x_i).
+
+    On TPU with a kernel-plan graph (and no active attention dropout) the
+    edge softmax runs in the fused Pallas GATv2 kernel."""
 
     out_channels: int            # per-head
     heads: int = 1
@@ -201,15 +248,26 @@ class GATv2Conv(_AttentionConvBase):
                               negative_slope=self.negative_slope)
             return jnp.einsum("nhc,hc->nh", z, att)
 
-        edge_logits = logits(jnp.take(hl, g.senders, axis=0),
-                             jnp.take(hr, g.receivers, axis=0))
         self_logits = logits(hl, hr)
-        alpha_e, alpha_s = _attention_alphas(
-            edge_logits, self_logits, g.receivers, n, g.edge_mask,
-            self.add_self_loops)
-        out = self._aggregate(alpha_e, alpha_s,
-                              jnp.take(hl, g.senders, axis=0), hl,
-                              g.receivers, n, self.dropout, train)
+
+        plan = getattr(g, "kernel_plan", None)
+        if (plan is not None and getattr(plan, "fwd_attn", None) is not None
+                and n == plan.n_pad and H <= 32
+                and (self.dropout == 0.0 or not train)
+                and _fused_attention_enabled()
+                and jax.default_backend() == "tpu"):
+            out = _fused_gatv2_softmax_sum(
+                g, hl, hr, att, self_logits, n, H, C,
+                self.negative_slope, self.add_self_loops)
+        else:
+            edge_logits = logits(jnp.take(hl, g.senders, axis=0),
+                                 jnp.take(hr, g.receivers, axis=0))
+            alpha_e, alpha_s = _attention_alphas(
+                edge_logits, self_logits, g.receivers, n, g.edge_mask,
+                self.add_self_loops)
+            out = self._aggregate(alpha_e, alpha_s,
+                                  jnp.take(hl, g.senders, axis=0), hl,
+                                  g.receivers, n, self.dropout, train)
         out = out.reshape(n, H * C)
         if self.use_bias:
             out = out + self.param("bias", nn.initializers.zeros, (H * C,),

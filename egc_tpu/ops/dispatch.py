@@ -125,9 +125,9 @@ def build_kernel_plan(
     fplan_attn = bplan_attn = None
     if attention and n_pad % 1024 == 0:
         fplan_attn = make_window_plan_np(senders, receivers, n_pad,
-                                         block_rows=1024, window_rows=1024)
+                                         block_rows=2048, window_rows=1024)
         bplan_attn = make_window_plan_np(receivers, senders, n_pad,
-                                         block_rows=1024, window_rows=512)
+                                         block_rows=1024, window_rows=1024)
         assert fplan_attn["n_pad"] == n_pad and bplan_attn["n_pad"] == n_pad
 
     deg = np.zeros(n_pad, np.float32)

@@ -48,69 +48,63 @@ NEG_BIG = -3.0e38
 def _fwd_kernel(cell_ptr_ref,
                 src_win, adst_blk, senders_hbm, receivers_hbm,
                 o_out, md_out,
-                sidx, ridx, sem_idx,
+                o_acc, md_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
                 *,
                 heads: int, cp: int, slope: float,
                 block_rows: int, window_rows: int, chunk: int,
                 s_blocks: int):
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+
     hcp = heads * cp
     i = pl.program_id(0)
     s = pl.program_id(1)
-    start = cell_ptr_ref[i * s_blocks + s]
-    end = cell_ptr_ref[i * s_blocks + s + 1]
     row0 = i * block_rows
     col0 = s * window_rows
 
+    # accumulate in SCRATCH; write the output block once per row block.
+    # Pallas writes output buffers back to HBM on every grid step, which
+    # costs S * N * width of silent writeback traffic (measured ~9 us/step
+    # at arxiv scale) if the accumulators live in the output refs.
     @pl.when(s == 0)
     def _():
-        o_out[:] = jnp.zeros_like(o_out)
-        md_out[:, 0:64] = jnp.full((block_rows, 64), NEG_BIG,
-                                   md_out.dtype)
-        md_out[:, 64:128] = jnp.zeros((block_rows, 64), md_out.dtype)
+        o_acc[:] = jnp.zeros_like(o_acc)
+        md_acc[:, 0:64] = jnp.full((block_rows, 64), NEG_BIG,
+                                   md_acc.dtype)
+        md_acc[:, 64:128] = jnp.zeros((block_rows, 64), md_acc.dtype)
 
-    first_chunk = start // chunk
-    num_chunks = pl.cdiv(end, chunk) - first_chunk
-
-    def chunk_body(c, _):
-        c0 = pl.multiple_of((first_chunk + c) * chunk, chunk)
-        lo = jnp.maximum(start - c0, 0)
-        n_e = jnp.minimum(end - c0, chunk)
-
-        cp_s = pltpu.make_async_copy(
-            senders_hbm.at[pl.ds(c0, chunk)], sidx, sem_idx.at[0])
-        cp_r = pltpu.make_async_copy(
-            receivers_hbm.at[pl.ds(c0, chunk)], ridx, sem_idx.at[1])
-        cp_s.start()
-        cp_r.start()
-        cp_s.wait()
-        cp_r.wait()
-
+    def process_chunk(base, lo, n_e):
         def body(j, _):
-            row = src_win[pl.ds(sidx[j] - col0, 1), :]     # [1, hcp+128]
+            row = src_win[pl.ds(sidx[base + j] - col0, 1), :]  # [1, hcp+128]
             wh = row[:, :hcp]
             asrc = row[:, hcp:hcp + 64]                    # a_src cols
-            r = ridx[j] - row0
+            r = ridx[base + j] - row0
             z = asrc + adst_blk[pl.ds(r, 1), 0:64]
             e = jnp.where(z >= 0, z, slope * z)            # leaky_relu
-            cur = md_out[pl.ds(r, 1), :]
+            cur = md_acc[pl.ds(r, 1), :]
             m_old = cur[:, 0:64]
             d_old = cur[:, 64:128]
             m_new = jnp.maximum(m_old, e)
             corr = jnp.exp(m_old - m_new)
             p = jnp.exp(e - m_new)
             d_new = d_old * corr + p
-            md_out[pl.ds(r, 1), :] = jnp.concatenate([m_new, d_new], axis=1)
+            md_acc[pl.ds(r, 1), :] = jnp.concatenate([m_new, d_new], axis=1)
             # per-head expansion: repeat each head scalar over its Cp lanes
             corr_e = pltpu.repeat(corr[:, :heads], cp, axis=1)
             p_e = pltpu.repeat(p[:, :heads], cp, axis=1)
-            o_out[pl.ds(r, 1), :] = (o_out[pl.ds(r, 1), :] * corr_e
+            o_acc[pl.ds(r, 1), :] = (o_acc[pl.ds(r, 1), :] * corr_e
                                      + p_e * wh)
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
-        return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                    sem_idx, sem_w, seq_ref,
+                    (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        o_out[:] = o_acc[:]
+        md_out[:] = md_acc[:]
 
 
 def gat_fwd(
@@ -163,9 +157,13 @@ def gat_fwd(
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.VMEM((block_rows, hcp), src_pack.dtype),
+            pltpu.VMEM((block_rows, 128), src_pack.dtype),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -238,97 +236,83 @@ def _edge_grad(row_src, row_cof, heads, hcp, slope):
 def _bwd_t_kernel(cell_ptr_ref,
                   cof_win, src_blk, senders_hbm, receivers_hbm,
                   out,
-                  sidx, ridx, sem_idx,
+                  acc, sidx, ridx, sem_idx, sem_w, seq_ref,
                   *,
                   heads: int, cp: int, slope: float,
                   block_rows: int, window_rows: int, chunk: int,
                   s_blocks: int):
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+
     hcp = heads * cp
     i = pl.program_id(0)
     s = pl.program_id(1)
-    start = cell_ptr_ref[i * s_blocks + s]
-    end = cell_ptr_ref[i * s_blocks + s + 1]
     row0 = i * block_rows
     col0 = s * window_rows
 
     @pl.when(s == 0)
     def _():
-        out[:] = jnp.zeros_like(out)
+        acc[:] = jnp.zeros_like(acc)
 
-    first_chunk = start // chunk
-    num_chunks = pl.cdiv(end, chunk) - first_chunk
-
-    def chunk_body(c, _):
-        c0 = pl.multiple_of((first_chunk + c) * chunk, chunk)
-        lo = jnp.maximum(start - c0, 0)
-        n_e = jnp.minimum(end - c0, chunk)
-        cp_s = pltpu.make_async_copy(
-            senders_hbm.at[pl.ds(c0, chunk)], sidx, sem_idx.at[0])
-        cp_r = pltpu.make_async_copy(
-            receivers_hbm.at[pl.ds(c0, chunk)], ridx, sem_idx.at[1])
-        cp_s.start(); cp_r.start(); cp_s.wait(); cp_r.wait()
-
+    def process_chunk(base, lo, n_e):
         def body(j, _):
             # transpose plan: window = ORIGINAL receivers, block = senders
-            row_cof = cof_win[pl.ds(sidx[j] - col0, 1), :]
-            r = ridx[j] - row0
+            row_cof = cof_win[pl.ds(sidx[base + j] - col0, 1), :]
+            r = ridx[base + j] - row0
             row_src = src_blk[pl.ds(r, 1), :]
             d_wh, dz128 = _edge_grad(row_src, row_cof, heads, hcp, slope)
-            out[pl.ds(r, 1), :] = out[pl.ds(r, 1), :] + \
+            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
                 jnp.concatenate([d_wh, dz128], axis=1)
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
-        return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                    sem_idx, sem_w, seq_ref,
+                    (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        out[:] = acc[:]
 
 
 def _bwd_f_kernel(cell_ptr_ref,
                   src_win, cof_blk, senders_hbm, receivers_hbm,
                   out,
-                  sidx, ridx, sem_idx,
+                  acc, sidx, ridx, sem_idx, sem_w, seq_ref,
                   *,
                   heads: int, cp: int, slope: float,
                   block_rows: int, window_rows: int, chunk: int,
                   s_blocks: int):
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+
     hcp = heads * cp
     i = pl.program_id(0)
     s = pl.program_id(1)
-    start = cell_ptr_ref[i * s_blocks + s]
-    end = cell_ptr_ref[i * s_blocks + s + 1]
     row0 = i * block_rows
     col0 = s * window_rows
 
     @pl.when(s == 0)
     def _():
-        out[:] = jnp.zeros_like(out)
+        acc[:] = jnp.zeros_like(acc)
 
-    first_chunk = start // chunk
-    num_chunks = pl.cdiv(end, chunk) - first_chunk
-
-    def chunk_body(c, _):
-        c0 = pl.multiple_of((first_chunk + c) * chunk, chunk)
-        lo = jnp.maximum(start - c0, 0)
-        n_e = jnp.minimum(end - c0, chunk)
-        cp_s = pltpu.make_async_copy(
-            senders_hbm.at[pl.ds(c0, chunk)], sidx, sem_idx.at[0])
-        cp_r = pltpu.make_async_copy(
-            receivers_hbm.at[pl.ds(c0, chunk)], ridx, sem_idx.at[1])
-        cp_s.start(); cp_r.start(); cp_s.wait(); cp_r.wait()
-
+    def process_chunk(base, lo, n_e):
         def body(j, _):
-            row_src = src_win[pl.ds(sidx[j] - col0, 1), :]
-            r = ridx[j] - row0
+            row_src = src_win[pl.ds(sidx[base + j] - col0, 1), :]
+            r = ridx[base + j] - row0
             row_cof = cof_blk[pl.ds(r, 1), :]
             _d_wh, dz128 = _edge_grad(row_src, row_cof, heads, hcp, slope)
-            out[pl.ds(r, 1), :] = out[pl.ds(r, 1), :] + dz128
+            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + dz128
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
-        return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                    sem_idx, sem_w, seq_ref,
+                    (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        out[:] = acc[:]
 
 
 def _edge_pass(kernel_fn, win_arr, blk_arr, plan_dev, out_width, *,
@@ -361,9 +345,12 @@ def _edge_pass(kernel_fn, win_arr, blk_arr, plan_dev, out_width, *,
                                lambda i, s, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.VMEM((plan_dev.block_rows, out_width), win_arr.dtype),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     return pl.pallas_call(
@@ -439,6 +426,346 @@ def _gat_attention_cached(heads: int, cp: int, slope: float):
             return _np.zeros(x.shape, jax.dtypes.float0)
 
         return d_src, d_adst, jax.tree.map(zero_ct, plan)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# GATv2: e_sr = sum_c att[h,c] * leaky_relu(whl[s,h,c] + whr[r,h,c])
+# (PyG GATv2Conv). The per-edge per-head dot runs as an in-register
+# head-fold (measured ~free next to the dynamic row accesses). Layouts are
+# head-interleaved like GAT; ``att`` rides along as a row-replicated [8,
+# H*Cp] VMEM input.
+#
+# Backward (same flash-recompute scheme as GAT):
+#   de = alpha-hat (q + G2) + 1[e = m] G3,  q = head_fold(g_o . whl)
+#   d_whl[s] += alpha-hat g_o + de . att . lrelu'(z)
+#   d_whr[r] += de . att . lrelu'(z)
+#   d_att    += de . lrelu(z)   (accumulated per-receiver, reduced in XLA)
+# coeff_pack [n, 2*H*Cp + 128]: [g_o | whr | fields(m, G2, G3)].
+
+
+def _v2_logit(wl, wr, attv, heads, hcp, slope):
+    z = wl + wr
+    lr = jnp.where(z >= 0, z, slope * z)
+    e_h = _head_reduce(lr * attv, heads, hcp)            # [1, heads]
+    e32 = jnp.concatenate([e_h, jnp.zeros((1, 32 - heads), wl.dtype)],
+                          axis=1)
+    return z, lr, e32
+
+
+def _v2_fwd_kernel(cell_ptr_ref,
+                   src_win, dst_blk, att_in, senders_hbm, receivers_hbm,
+                   o_out, md_out,
+                   o_acc, md_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
+                   *,
+                   heads: int, cp: int, slope: float,
+                   block_rows: int, window_rows: int, chunk: int,
+                   s_blocks: int):
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+
+    hcp = heads * cp
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = i * block_rows
+    col0 = s * window_rows
+    attv = att_in[0:1, :]
+
+    @pl.when(s == 0)
+    def _():
+        o_acc[:] = jnp.zeros_like(o_acc)
+        md_acc[:, 0:64] = jnp.full((block_rows, 64), NEG_BIG, md_acc.dtype)
+        md_acc[:, 64:128] = jnp.zeros((block_rows, 64), md_acc.dtype)
+
+    def process_chunk(base, lo, n_e):
+        def body(j, _):
+            wl = src_win[pl.ds(sidx[base + j] - col0, 1), :]   # [1, hcp]
+            r = ridx[base + j] - row0
+            wr = dst_blk[pl.ds(r, 1), :]
+            _z, _lr, e32 = _v2_logit(wl, wr, attv, heads, hcp, slope)
+            e = jnp.concatenate([e32, jnp.zeros((1, 32), wl.dtype)], axis=1)
+            cur = md_acc[pl.ds(r, 1), :]
+            m_old = cur[:, 0:64]
+            d_old = cur[:, 64:128]
+            m_new = jnp.maximum(m_old, e)
+            corr = jnp.exp(m_old - m_new)
+            p = jnp.exp(e - m_new)
+            md_acc[pl.ds(r, 1), :] = jnp.concatenate(
+                [m_new, d_old * corr + p], axis=1)
+            corr_e = pltpu.repeat(corr[:, :heads], cp, axis=1)
+            p_e = pltpu.repeat(p[:, :heads], cp, axis=1)
+            o_acc[pl.ds(r, 1), :] = (o_acc[pl.ds(r, 1), :] * corr_e
+                                     + p_e * wl)
+            return 0
+
+        jax.lax.fori_loop(lo, n_e, body, 0)
+
+    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                    sem_idx, sem_w, seq_ref,
+                    (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        o_out[:] = o_acc[:]
+        md_out[:] = md_acc[:]
+
+
+def _v2_edge_grad(wl, row_cof, attv, heads, hcp, slope):
+    cp = hcp // heads
+    g_o = row_cof[:, :hcp]
+    wr = row_cof[:, hcp:2 * hcp]
+    fld = row_cof[:, 2 * hcp:2 * hcp + 128]
+    m = fld[:, 0:32]
+    g2 = fld[:, 32:64]
+    g3 = fld[:, 64:96]
+    z, lr, e32 = _v2_logit(wl, wr, attv, heads, hcp, slope)
+    ah = jnp.exp(e32 - m)
+    q = _head_reduce(g_o * wl, heads, hcp)
+    q32 = jnp.concatenate([q, jnp.zeros((1, 32 - heads), wl.dtype)], axis=1)
+    de = ah * (q32 + g2) + jnp.where(e32 >= m, g3, 0.0)
+    de_e = pltpu.repeat(de[:, :heads], cp, axis=1)
+    ah_e = pltpu.repeat(ah[:, :heads], cp, axis=1)
+    lrp = jnp.where(z >= 0, 1.0, slope)
+    dz_term = de_e * attv * lrp
+    d_wl = ah_e * g_o + dz_term
+    datt = de_e * lr
+    return d_wl, dz_term, datt
+
+
+def _v2_bwd_t_kernel(cell_ptr_ref,
+                     cof_win, src_blk, att_in, senders_hbm, receivers_hbm,
+                     out,
+                     acc, sidx, ridx, sem_idx, sem_w, seq_ref,
+                     *,
+                     heads: int, cp: int, slope: float,
+                     block_rows: int, window_rows: int, chunk: int,
+                     s_blocks: int):
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+
+    hcp = heads * cp
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = i * block_rows
+    col0 = s * window_rows
+    attv = att_in[0:1, :]
+
+    @pl.when(s == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    def process_chunk(base, lo, n_e):
+        def body(j, _):
+            row_cof = cof_win[pl.ds(sidx[base + j] - col0, 1), :]
+            r = ridx[base + j] - row0
+            wl = src_blk[pl.ds(r, 1), :]
+            d_wl, _dz, _da = _v2_edge_grad(wl, row_cof, attv, heads, hcp,
+                                           slope)
+            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + d_wl
+            return 0
+
+        jax.lax.fori_loop(lo, n_e, body, 0)
+
+    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                    sem_idx, sem_w, seq_ref,
+                    (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        out[:] = acc[:]
+
+
+def _v2_bwd_f_kernel(cell_ptr_ref,
+                     src_win, cof_blk, att_in, senders_hbm, receivers_hbm,
+                     out,
+                     acc, sidx, ridx, sem_idx, sem_w, seq_ref,
+                     *,
+                     heads: int, cp: int, slope: float,
+                     block_rows: int, window_rows: int, chunk: int,
+                     s_blocks: int):
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+
+    hcp = heads * cp
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = i * block_rows
+    col0 = s * window_rows
+    attv = att_in[0:1, :]
+
+    @pl.when(s == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    def process_chunk(base, lo, n_e):
+        def body(j, _):
+            wl = src_win[pl.ds(sidx[base + j] - col0, 1), :]
+            r = ridx[base + j] - row0
+            row_cof = cof_blk[pl.ds(r, 1), :]
+            _dwl, dz_term, datt = _v2_edge_grad(wl, row_cof, attv, heads,
+                                                hcp, slope)
+            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
+                jnp.concatenate([dz_term, datt], axis=1)
+            return 0
+
+        jax.lax.fori_loop(lo, n_e, body, 0)
+
+    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                    sem_idx, sem_w, seq_ref,
+                    (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        out[:] = acc[:]
+
+
+def _v2_edge_pass(kernel_fn, win_arr, blk_arr, att_rep, plan_dev, out_width,
+                  *, heads, cp, slope, chunk=1024):
+    n = win_arr.shape[0]
+    senders = plan_dev.senders
+    receivers = plan_dev.receivers
+    e = senders.shape[0]
+    pad = (chunk - e % chunk) % chunk + chunk
+    senders = jnp.pad(senders, (0, pad))
+    receivers = jnp.pad(receivers, (0, pad))
+    kernel = functools.partial(
+        kernel_fn, heads=heads, cp=cp, slope=slope,
+        block_rows=plan_dev.block_rows, window_rows=plan_dev.window_rows,
+        chunk=chunk, s_blocks=plan_dev.s_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan_dev.r_blocks, plan_dev.s_blocks),
+        in_specs=[
+            pl.BlockSpec((plan_dev.window_rows, win_arr.shape[1]),
+                         lambda i, s, *_: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan_dev.block_rows, blk_arr.shape[1]),
+                         lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # att (replicated)
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((plan_dev.block_rows, out_width),
+                               lambda i, s, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((plan_dev.block_rows, out_width), win_arr.dtype),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, out_width), win_arr.dtype),
+    )(plan_dev.cell_ptr, win_arr, blk_arr, att_rep, senders, receivers)
+
+
+def gatv2_attention(whl, whr, att_rep, plan, *, heads: int, cp: int,
+                    slope: float = 0.2):
+    """Differentiable fused GATv2 edge-softmax primitive.
+
+    whl/whr: [n_pad, H*Cp] head-interleaved; att_rep: [8, H*Cp]
+    (row-replicated interleaved attention vector). Returns (o, md) like
+    ``gat_fwd``; gradients flow to whl, whr AND att.
+    """
+    return _gatv2_attention_cached(heads, cp, slope)(whl, whr, att_rep,
+                                                     plan)
+
+
+@functools.lru_cache(maxsize=None)
+def _gatv2_attention_cached(heads: int, cp: int, slope: float):
+    hcp = heads * cp
+
+    def impl(whl, whr, att_rep, plan):
+        f = plan.fwd_attn
+        kernel = functools.partial(
+            _v2_fwd_kernel, heads=heads, cp=cp, slope=slope,
+            block_rows=f.block_rows, window_rows=f.window_rows,
+            chunk=1024, s_blocks=f.s_blocks)
+        n = whl.shape[0]
+        e = f.senders.shape[0]
+        pad = (1024 - e % 1024) % 1024 + 1024
+        senders = jnp.pad(f.senders, (0, pad))
+        receivers = jnp.pad(f.receivers, (0, pad))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(f.r_blocks, f.s_blocks),
+            in_specs=[
+                pl.BlockSpec((f.window_rows, hcp), lambda i, s, *_: (s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=(
+                pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f.block_rows, 128), lambda i, s, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((f.block_rows, hcp), whl.dtype),
+                pltpu.VMEM((f.block_rows, 128), whl.dtype),
+                pltpu.SMEM((2 * 1024,), jnp.int32),
+                pltpu.SMEM((2 * 1024,), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),
+            ],
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((n, hcp), whl.dtype),
+                       jax.ShapeDtypeStruct((n, 128), whl.dtype)),
+        )(f.cell_ptr, whl, whr, att_rep, senders, receivers)
+
+    @jax.custom_vjp
+    def f(whl, whr, att_rep, plan):
+        return impl(whl, whr, att_rep, plan)
+
+    def f_fwd(whl, whr, att_rep, plan):
+        o, md = impl(whl, whr, att_rep, plan)
+        return (o, md), (whl, whr, att_rep, plan, o, md)
+
+    def f_bwd(residual, cts):
+        import numpy as _np
+        whl, whr, att_rep, plan, o, md = residual
+        g_o, g_md = cts
+        n = o.shape[0]
+        m = md[:, 0:32]
+        d = md[:, 64:96]
+        g_m = g_md[:, 0:32]
+        g_d = g_md[:, 64:96]
+        og_h = jnp.sum((o * g_o).reshape(n, cp, heads), axis=1)
+        pad32 = jnp.zeros((n, 32 - heads), o.dtype)
+        g3 = g_m - jnp.concatenate([og_h, pad32], axis=1) - d * g_d
+        fields = jnp.concatenate(
+            [m, g_d, g3, jnp.zeros((n, 32), o.dtype)], axis=1)
+        coeff = jnp.concatenate([g_o, whr, fields], axis=1)
+        d_whl = _v2_edge_pass(_v2_bwd_t_kernel, coeff, whl, att_rep,
+                              plan.bwd_attn, hcp, heads=heads, cp=cp,
+                              slope=slope)
+        fpass = _v2_edge_pass(_v2_bwd_f_kernel, whl, coeff, att_rep,
+                              plan.fwd_attn, 2 * hcp, heads=heads, cp=cp,
+                              slope=slope)
+        d_whr = fpass[:, :hcp]
+        d_att_rows = fpass[:, hcp:]
+        d_att = jnp.sum(d_att_rows, axis=0, keepdims=True)
+        d_att_rep = jnp.broadcast_to(d_att, att_rep.shape) / att_rep.shape[0]
+        # att_rep rows are replicas of one vector: route the full cotangent
+        # through each replica equally (caller sums rows -> exact)
+
+        def zero_ct(x):
+            if x is None:
+                return None
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                return jnp.zeros_like(x)
+            return _np.zeros(x.shape, jax.dtypes.float0)
+
+        return d_whl, d_whr, d_att_rep, jax.tree.map(zero_ct, plan)
 
     f.defvjp(f_fwd, f_bwd)
     return f

@@ -272,6 +272,92 @@ def make_window_plan_np(
     }
 
 
+def _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                    sem_idx, sem_w, seq_ref, streams, process_chunk):
+    """Cross-cell double-buffered chunk pipeline.
+
+    Edge-index chunk DMAs are issued one chunk AHEAD in a global sequence
+    spanning all grid cells (empty cells still occupy one dummy slot so
+    the sequence stays deterministic), hiding the DMA wait latency that
+    otherwise costs ~a microsecond per cell — ruinous on sparse-cell
+    grids (attention plans average <100 edges/cell).
+
+    streams: (senders_hbm, receivers_hbm, edge_w_hbm-or-None).
+    process_chunk(slot, lo, n_e): consume chunk data in buffer ``slot``.
+    seq_ref: SMEM (1,) persistent global chunk counter.
+    """
+    senders_hbm, receivers_hbm, edge_w_hbm = streams
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    g = i * s_blocks + s
+    num_cells = pl.num_programs(0) * s_blocks
+    start = cell_ptr_ref[g]
+    end = cell_ptr_ref[g + 1]
+    first_chunk = start // chunk
+    num_chunks = jnp.maximum(pl.cdiv(end, chunk) - first_chunk, 1)
+
+    # scratch buffers are FLAT [2*chunk] (Mosaic rejects size-1 leading
+    # slices of 2-D SMEM); slot k occupies [k*chunk, (k+1)*chunk)
+    def slot_view(buf, slot):
+        return buf.at[pl.ds(pl.multiple_of(slot * chunk, chunk), chunk)]
+
+    def issue(c0, slot):
+        c0 = pl.multiple_of(c0, chunk)
+        pltpu.make_async_copy(
+            senders_hbm.at[pl.ds(c0, chunk)], slot_view(sidx, slot),
+            sem_idx.at[2 * slot]).start()
+        pltpu.make_async_copy(
+            receivers_hbm.at[pl.ds(c0, chunk)], slot_view(ridx, slot),
+            sem_idx.at[2 * slot + 1]).start()
+        if edge_w_hbm is not None:
+            pltpu.make_async_copy(
+                edge_w_hbm.at[pl.ds(c0, chunk)], slot_view(wbuf, slot),
+                sem_w.at[slot]).start()
+
+    def wait(slot):
+        # descriptors only carry shape/dst info; safe to re-make for wait
+        pltpu.make_async_copy(
+            senders_hbm.at[pl.ds(0, chunk)], slot_view(sidx, slot),
+            sem_idx.at[2 * slot]).wait()
+        pltpu.make_async_copy(
+            receivers_hbm.at[pl.ds(0, chunk)], slot_view(ridx, slot),
+            sem_idx.at[2 * slot + 1]).wait()
+        if edge_w_hbm is not None:
+            pltpu.make_async_copy(
+                edge_w_hbm.at[pl.ds(0, chunk)], slot_view(wbuf, slot),
+                sem_w.at[slot]).wait()
+
+    @pl.when(g == 0)
+    def _():
+        seq_ref[0] = 0
+        issue(first_chunk * chunk, 0)
+
+    seq0 = seq_ref[0]
+
+    def chunk_body(c, _):
+        seq = seq0 + c
+        # issue the NEXT chunk in the global sequence before consuming
+        # this one: own chunk c+1, or the next cell's first chunk
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            issue((first_chunk + c + 1) * chunk, (seq + 1) % 2)
+
+        @pl.when((c + 1 >= num_chunks) & (g + 1 < num_cells))
+        def _():
+            nxt = cell_ptr_ref[g + 1]
+            issue((nxt // chunk) * chunk, (seq + 1) % 2)
+
+        wait(seq % 2)
+        c0 = (first_chunk + c) * chunk
+        lo = jnp.maximum(start - c0, 0)
+        n_e = jnp.minimum(end - c0, chunk)
+        process_chunk((seq % 2) * chunk, lo, n_e)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    seq_ref[0] = seq0 + num_chunks
+
+
 def _windowed_kernel(cell_ptr_ref,
                      vals_win, senders_hbm, receivers_hbm, edge_w_hbm,
                      *refs,

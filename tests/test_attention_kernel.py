@@ -199,6 +199,100 @@ def test_gatconv_fused_branch_matches_xla(monkeypatch):
     ref = np.asarray(conv.apply(variables, g, jnp.asarray(x)))
 
     gk = g.replace(kernel_plan=plan)
+    monkeypatch.setenv("EGC_TPU_FUSED_ATTENTION", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = np.asarray(conv.apply(variables, gk, jnp.asarray(x)))
+    np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-5)
+
+
+def test_gatv2_attention_value_and_grad_parity():
+    """Fused GATv2 edge-softmax (fwd + 2-pass bwd) vs XLA, incl. d_att."""
+    from egc_tpu.ops.pallas.attention import gatv2_attention
+    from egc_tpu.nn.conv.attention import _attention_alphas
+    from egc_tpu.graph.transforms import coalesce_np
+
+    rng = np.random.default_rng(5)
+    n, e, H, C, cp = 160, 700, 4, 16, 32
+    hcp = H * cp
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    senders, receivers, _ = coalesce_np(senders, receivers, n)
+    plan = _mini_plan(senders, receivers, n)
+    npad = plan.n_pad
+
+    def mk(shape):
+        a = np.zeros((npad,) + shape[1:], np.float32)
+        a[:n] = rng.normal(size=(n,) + shape[1:])
+        return a
+
+    hl = mk((n, H, C))
+    hr = mk((n, H, C))
+    att = rng.normal(size=(H, C)).astype(np.float32)
+    proj = jnp.asarray(mk((n, H, C)))
+    deg_pos = np.asarray(plan.deg) > 0
+    sj, rj = jnp.asarray(senders), jnp.asarray(receivers)
+
+    def interleave(x):
+        return jnp.pad(x.transpose(0, 2, 1),
+                       ((0, 0), (0, cp - C), (0, 0))).reshape(npad, hcp)
+
+    def fused_loss(hl, hr, att):
+        att_i = jnp.pad(att.T, ((0, cp - C), (0, 0))).reshape(1, hcp)
+        att_rep = jnp.broadcast_to(att_i, (8, hcp))
+        o, md = gatv2_attention(interleave(hl), interleave(hr), att_rep,
+                                plan, heads=H, cp=cp)
+        d_e = md[:, 64:64 + H]
+        o = o.reshape(npad, cp, H).transpose(0, 2, 1)[:, :, :C]
+        has = jnp.asarray(deg_pos)[:, None, None]
+        out = jnp.where(has, o / jnp.maximum(d_e, 1e-16)[:, :, None], 0.0)
+        return jnp.sum(out * proj)
+
+    def xla_loss(hl, hr, att):
+        z = jnp.take(hl, sj, axis=0) + jnp.take(hr, rj, axis=0)
+        z = jnp.where(z >= 0, z, 0.2 * z)
+        logits = jnp.einsum("ehc,hc->eh", z, att)
+        alpha_e, _ = _attention_alphas(logits, None, rj, npad, None, False)
+        out = jax.ops.segment_sum(
+            alpha_e[:, :, None] * jnp.take(hl, sj, axis=0), rj,
+            num_segments=npad)
+        return jnp.sum(out * proj)
+
+    args = (jnp.asarray(hl), jnp.asarray(hr), jnp.asarray(att))
+    v_f, g_f = jax.value_and_grad(fused_loss, argnums=(0, 1, 2))(*args)
+    v_x, g_x = jax.value_and_grad(xla_loss, argnums=(0, 1, 2))(*args)
+    np.testing.assert_allclose(float(v_f), float(v_x), rtol=1e-4)
+    for a, b, name in zip(g_f, g_x, ("hl", "hr", "att")):
+        aa, bb = np.asarray(a), np.asarray(b)
+        if name != "att":
+            aa, bb = aa[:n], bb[:n]
+        np.testing.assert_allclose(aa, bb, rtol=2e-3, atol=3e-4,
+                                   err_msg=name)
+
+
+def test_gatv2conv_fused_branch_matches_xla(monkeypatch):
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.nn.conv.attention import GATv2Conv
+    from egc_tpu.graph.transforms import coalesce_np
+
+    rng = np.random.default_rng(9)
+    n, e, H, C = 140, 650, 4, 16
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    senders, receivers, _ = coalesce_np(senders, receivers, n)
+    plan = _mini_plan(senders, receivers, n)
+    npad = plan.n_pad
+
+    x = np.zeros((npad, 24), np.float32)
+    x[:n] = rng.normal(size=(n, 24))
+    g = Graph.from_coo(np.zeros((n, 1), np.float32), senders, receivers)
+    g = pad_graph(g, num_nodes=npad, num_edges=len(senders))
+
+    conv = GATv2Conv(out_channels=C, heads=H)
+    variables = conv.init(jax.random.key(0), g, jnp.asarray(x))
+    ref = np.asarray(conv.apply(variables, g, jnp.asarray(x)))
+
+    gk = g.replace(kernel_plan=plan)
+    monkeypatch.setenv("EGC_TPU_FUSED_ATTENTION", "1")
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     got = np.asarray(conv.apply(variables, gk, jnp.asarray(x)))
     np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-5)
