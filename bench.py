@@ -120,6 +120,13 @@ def main():
     bl = bases * (hidden // heads)
     bw_sol_edges_per_s = hbm_gbps * 1e9 / (num_layers * bl * 4 * 3)
     vs = edges_per_s / sol_edges_per_s
+    # measured floor (round 2, scripts/kernel_feas.py): the minimal
+    # dynamic-row loop runs at 10.4 cy/edge fwd / ~13 cy/edge bwd on v5e —
+    # the 8-cy model above predates those microbenchmarks and is kept as
+    # the primary denominator for cross-round continuity.
+    floor_cy = (10.4 + 13.0) / 2.0
+    sol_measured = clock_ghz * 1e9 / (floor_cy * passes)
+    vs_measured = edges_per_s / sol_measured
 
     print(json.dumps({
         "metric": "egc_m_arxiv_train_edges_per_s_per_chip",
@@ -130,6 +137,8 @@ def main():
         "num_edges": num_edges,
         "device": dev.device_kind,
         "sol_edges_per_s": round(sol_edges_per_s, 1),
+        "vs_measured_floor": round(vs_measured, 4),
+        "measured_floor_edges_per_s": round(sol_measured, 1),
         "bandwidth_sol_edges_per_s": round(bw_sol_edges_per_s, 1),
     }), flush=True)
 

@@ -349,9 +349,26 @@ def conv_aggregate(g, x, aggrs, *, include_self: bool = False,
         f_pad = ((f + 127) // 128) * 128
         if f_pad != f:
             x = jnp.pad(x, ((0, 0), (0, f_pad - f)))
-        out = fused_multi_aggregate(
-            x, plan, aggrs, include_self=include_self,
-            symnorm_edge_w=symnorm_edge_w, symnorm_self_w=symnorm_self_w)
+        if f_pad > 128:
+            # column-group split: the window/accumulator VMEM budget is
+            # sized for 128-wide features (wider blocks OOM — e.g. arxiv
+            # h136 pads to 256 and needs 20 MB). Aggregation is
+            # column-independent, so each lane group is its own pass at
+            # the proven-fast geometry; cost scales with ceil(f/128)
+            # edge sweeps.
+            outs = [
+                fused_multi_aggregate(
+                    x[:, k:k + 128], plan, aggrs,
+                    include_self=include_self,
+                    symnorm_edge_w=symnorm_edge_w,
+                    symnorm_self_w=symnorm_self_w)
+                for k in range(0, f_pad, 128)
+            ]
+            out = jnp.concatenate(outs, axis=2)
+        else:
+            out = fused_multi_aggregate(
+                x, plan, aggrs, include_self=include_self,
+                symnorm_edge_w=symnorm_edge_w, symnorm_self_w=symnorm_self_w)
         return out[:, :, :f] if f_pad != f else out
     return multi_aggregate(
         x, g.senders, g.receivers, aggrs, edge_mask=g.edge_mask,
