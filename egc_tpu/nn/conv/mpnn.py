@@ -4,6 +4,17 @@ Per tower t: message_ij = Linear_t([x_i_t || x_j_t]); aggregate (sum or max)
 at the receiver; update_i = Linear_t([agg_i_t || x_init_i_t]); then one final
 Linear across the concatenated towers. No self-loops. Requires
 in_dim == out_dim (as in all reference call sites: hidden -> hidden).
+
+TPU-first factorization: the message Linear is LINEAR in the concatenated
+inputs, so message_ij = P_i(x_i) + P_j(x_j) + b with node-level transforms
+P_i, P_j. Then
+
+    sum-aggregate_i = deg_i * (P_i(x_i) + b) + SUM_j P_j(x_j)
+    max-aggregate_i = P_i(x_i) + b + MAX_j P_j(x_j)       (deg_i > 0)
+
+— EXACTLY equal to the reference's per-edge form, but the edge sweep only
+touches node values (no [E, 2*it] gather / per-edge matmul), so it rides
+the fused Pallas aggregation path.
 """
 
 from __future__ import annotations
@@ -13,7 +24,7 @@ import flax.linen as nn
 
 from egc_tpu.graph.structure import Graph
 from egc_tpu.nn import init as einit
-from egc_tpu.ops import segment_sum, segment_max
+from egc_tpu.ops import segment_count
 
 
 class MPNNConv(nn.Module):
@@ -23,6 +34,8 @@ class MPNNConv(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x, *, train: bool = False):
+        from egc_tpu.ops.dispatch import conv_aggregate
+
         n, T = x.shape[0], self.towers
         in_dim, out_dim = x.shape[-1], self.out_channels
         if in_dim % T or out_dim % T:
@@ -30,24 +43,28 @@ class MPNNConv(nn.Module):
         it, ot = in_dim // T, out_dim // T
 
         xt = x.reshape(n, T, it)
-        x_i = jnp.take(xt, g.receivers, axis=0)   # [E, T, it]
-        x_j = jnp.take(xt, g.senders, axis=0)
-        h = jnp.concatenate([x_i, x_j], axis=-1)  # [E, T, 2*it]
-
-        # Per-tower message Linear: batched as a single einsum over towers.
+        # Per-tower message Linear, split into receiver/sender node-level
+        # transforms (see module docstring).
         wm = self.param("msg_kernel", einit.torch_linear_kernel, (T, 2 * it, ot))
         bm = self.param("msg_bias", einit.torch_linear_bias(2 * it), (T, ot))
-        msg = jnp.einsum("etf,tfo->eto", h, wm) + bm
+        p_i = jnp.einsum("nti,tio->nto", xt, wm[:, :it])
+        p_j = jnp.einsum("nti,tio->nto", xt, wm[:, it:])
 
+        plan = getattr(g, "kernel_plan", None)
+        if plan is not None and n == getattr(plan, "n_pad", -1):
+            deg = plan.deg
+        else:
+            deg = segment_count(g.receivers, n, mask=g.edge_mask,
+                                indices_are_sorted=True)
         if self.aggr in ("sum", "add"):
-            agg = segment_sum(msg.reshape(-1, T * ot), g.receivers, n,
-                              mask=g.edge_mask, indices_are_sorted=True)
+            s = conv_aggregate(g, p_j.reshape(n, T * ot), ("sum",))[:, 0]
+            agg = deg[:, None, None] * (p_i + bm) + s.reshape(n, T, ot)
         elif self.aggr == "max":
-            agg = segment_max(msg.reshape(-1, T * ot), g.receivers, n,
-                              mask=g.edge_mask, indices_are_sorted=True)
+            m = conv_aggregate(g, p_j.reshape(n, T * ot), ("max",))[:, 0]
+            agg = jnp.where((deg > 0)[:, None, None],
+                            p_i + bm + m.reshape(n, T, ot), 0.0)
         else:
             raise ValueError(f"unsupported MPNN aggr {self.aggr!r}")
-        agg = agg.reshape(n, T, ot)
 
         upd_in = jnp.concatenate([agg, xt], axis=-1)  # [N, T, ot+it]
         wu = self.param("upd_kernel", einit.torch_linear_kernel,

@@ -1,5 +1,6 @@
 from egc_tpu.ops.segment import (  # noqa: F401
     segment_sum,
+    segment_count,
     segment_mean,
     segment_max,
     segment_min,

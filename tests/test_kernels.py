@@ -160,3 +160,41 @@ def test_loader_emits_static_kernel_plans():
         shapes.add((plan.fwd.senders.shape, plan.fwd.cell_ptr.shape,
                     plan.bwd.senders.shape, plan.deg.shape))
     assert len(shapes) == 1
+
+
+def test_wide_width_column_split(monkeypatch):
+    """Widths >128 route through per-128-lane column groups (VMEM-safe
+    path for the reference's wide tuned configs, e.g. arxiv h136)."""
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.ops import dispatch as dsp
+    from egc_tpu.ops.segment import multi_aggregate
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    vals, senders, receivers = small_graph(seed=11, n=180, e=800, f=128)
+    rng = np.random.default_rng(12)
+    f = 200                               # pads to 256 -> 2 column groups
+    vals = np.concatenate(
+        [vals, rng.normal(size=(vals.shape[0], f - 128)).astype(np.float32)],
+        axis=1)
+    n = vals.shape[0]
+    plan = plan_small(senders, receivers, n)
+    g = Graph.from_coo(np.zeros((n, 1), np.float32), senders, receivers)
+    g = pad_graph(g, num_nodes=plan.n_pad, num_edges=len(senders))
+    g = g.replace(kernel_plan=plan)
+    vpad = jnp.zeros((plan.n_pad, f)).at[:n].set(vals)
+
+    def loss(v):
+        return jnp.sum(dsp.conv_aggregate(g, v, ("sum", "max", "mean")))
+
+    got, grad = jax.value_and_grad(loss)(vpad)
+    ref_out = multi_aggregate(jnp.asarray(vals), jnp.asarray(senders),
+                              jnp.asarray(receivers), ("sum", "max", "mean"))
+    ref_loss, ref_grad = jax.value_and_grad(
+        lambda v: jnp.sum(multi_aggregate(
+            v, jnp.asarray(senders), jnp.asarray(receivers),
+            ("sum", "max", "mean"))))(jnp.asarray(vals))
+    np.testing.assert_allclose(float(got), float(ref_loss), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(grad)[:n], np.asarray(ref_grad),
+                               rtol=1e-3, atol=1e-4)
+    del ref_out
