@@ -115,17 +115,20 @@ class GraphLoader:
             g, y = batch_np(batch, num_nodes=bn, num_edges=be, num_graphs=bg)
             if self.kernel_plans:
                 from egc_tpu.ops.dispatch import build_kernel_plan
-                # padded edges point at the padding node (pad_graph), so
-                # their contributions land in masked rows — include them to
-                # keep the plan's edge arrays budget-static.
+                # keep_masked_edges keeps the plan's edge arrays
+                # budget-static while redirecting padded edges to a shadow
+                # block beyond the node budget, so they contribute exactly
+                # nothing to model rows in either pass (XLA-masked parity;
+                # conv_aggregate row-pads x up to plan.n_pad and slices)
                 plan = build_kernel_plan(
                     np.asarray(g.senders), np.asarray(g.receivers), bn,
+                    edge_mask=np.asarray(g.edge_mask),
+                    keep_masked_edges=True,
                     fwd_block_rows=self.PLAN_BLOCK,
                     fwd_window_rows=self.PLAN_BLOCK,
                     bwd_block_rows=self.PLAN_BLOCK,
                     bwd_window_rows=self.PLAN_BLOCK,
-                    bwd_narrow_window_rows=None, attention=False,
-                    has_padding_row=True)
+                    bwd_narrow_window_rows=None, attention=False)
                 g = g.replace(kernel_plan=plan)
             item = (g, y)
             if self._cache is not None:

@@ -47,6 +47,9 @@ def _attention_alphas(edge_logits, self_logits, receivers, num_nodes,
         ex_self = jnp.exp(self_logits - mx)
         denom = denom + ex_self
     denom = jnp.maximum(denom, jnp.asarray(1e-16, denom.dtype))
+    # NB: single gather of denom; do NOT add a second same-index gather
+    # here (e.g. of mx) — same-index gather pairs have been observed to
+    # mis-merge under XLA:TPU fusion (see ops.segment._make_varstd_edges).
     alpha_edge = ex / denom[receivers]
     alpha_self = ex_self / denom if include_self else None
     return alpha_edge, alpha_self

@@ -87,13 +87,11 @@ class PNAConv(nn.Module):
                 out = segment_sum(msg, g.receivers, n, mask=g.edge_mask,
                                   indices_are_sorted=True)
             elif a in ("var", "std"):
-                m = segment_mean(msg, g.receivers, n, mask=g.edge_mask,
-                                 indices_are_sorted=True)
-                msq = segment_mean(msg * msg, g.receivers, n, mask=g.edge_mask,
-                                   indices_are_sorted=True)
-                out = msq - m * m
-                if a == "std":
-                    out = jnp.sqrt(nn.relu(out) + 1e-5)
+                # stable-VJP var/std (see ops.segment._make_varstd_edges)
+                from egc_tpu.ops.segment import segment_std, segment_var
+                fn = segment_std if a == "std" else segment_var
+                out = fn(msg, g.receivers, n, mask=g.edge_mask,
+                         indices_are_sorted=True)
             else:
                 raise ValueError(f"unsupported PNA aggregator {a!r}")
             aggs.append(out)

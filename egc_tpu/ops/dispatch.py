@@ -31,7 +31,7 @@ from flax import struct
 from egc_tpu.ops.pallas.gather_reduce import (
     make_window_plan_np, windowed_gather_reduce, windowed_gather_reduce_bwd,
 )
-from egc_tpu.ops.segment import canonical_aggr
+from egc_tpu.ops.segment import canonical_aggr, _var_from_moments
 
 
 @struct.dataclass
@@ -83,29 +83,45 @@ def build_kernel_plan(
     bwd_narrow_window_rows: Optional[int] = 512,
     attention: bool = True,
     has_padding_row: bool = False,
+    keep_masked_edges: bool = False,
     edge_weight: Optional[np.ndarray] = None,
 ) -> GraphKernelPlan:
     """Host-side plan builder (call once per static graph).
 
-    Masked/padded edges may be included as long as they point at padding
-    rows (their contributions land in masked rows, like the XLA path).
     ``has_padding_row``: the caller guarantees ``num_nodes`` already
     includes padding rows (batched-loader budgets), so the plan may land
     exactly on ``round_up(num_nodes, align)`` instead of reserving an
     extra aligned block.
+
+    ``keep_masked_edges``: keep the edge arrays budget-static by
+    REDIRECTING masked edges to the shadow row ``n_pad - 1`` (beyond every
+    model row) instead of dropping them. Their contributions then land in
+    rows the caller slices away — exact parity with the XLA masked path in
+    BOTH passes. (Pointing masked edges at an in-range padding row is NOT
+    safe: thousands of duplicate pad->pad self-loops inflate the pad row's
+    forward aggregates and, through the max/min tie VJP, amplify any
+    nonzero pad-row cotangent by the duplicate count — enough to NaN a
+    training run within one epoch.)
     """
     align = max(fwd_block_rows, fwd_window_rows, bwd_block_rows,
                 bwd_window_rows, bwd_narrow_window_rows or 0)
-    if has_padding_row:
+    if has_padding_row and not keep_masked_edges:
         n_pad = ((num_nodes + align - 1) // align) * align
     else:
-        # reserve at least one padding row (padded edges need a target)
+        # reserve at least one aligned block beyond num_nodes: padded /
+        # redirected edges need an out-of-range target row
         n_pad = ((num_nodes + align) // align) * align
 
     if edge_mask is not None:
-        senders = senders[edge_mask]
-        receivers = receivers[edge_mask]
-        kept = np.where(edge_mask)[0]
+        if keep_masked_edges:
+            senders = np.where(edge_mask, senders, n_pad - 1).astype(np.int32)
+            receivers = np.where(edge_mask, receivers,
+                                 n_pad - 1).astype(np.int32)
+            kept = np.arange(len(senders))
+        else:
+            senders = senders[edge_mask]
+            receivers = receivers[edge_mask]
+            kept = np.where(edge_mask)[0]
     else:
         kept = np.arange(len(senders))
 
@@ -235,7 +251,8 @@ def fused_multi_aggregate(
                 d = jnp.maximum(deg, 1.0)
                 m = p["sum"] / d
                 msq = p["sumsq"] / d
-            out = msq - m * m
+            # single materialized var: see segment._var_from_moments
+            out = _var_from_moments(msq, m)
             if a == "std":
                 out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
         elif a == "max":
@@ -344,8 +361,16 @@ def conv_aggregate(g, x, aggrs, *, include_self: bool = False,
 
     plan = getattr(g, "kernel_plan", None)
     n, f = x.shape
-    if (plan is not None and n == getattr(plan, "n_pad", -1)
+    if (plan is not None and n <= getattr(plan, "n_pad", -1)
             and _jax.default_backend() == "tpu"):
+        n_extra = plan.n_pad - n
+        if n_extra:
+            # loader plans reserve a shadow block beyond the node budget
+            # (masked edges are redirected there — see build_kernel_plan);
+            # pad the rows up and slice the model rows back afterwards
+            x = jnp.pad(x, ((0, n_extra), (0, 0)))
+            if symnorm_self_w is not None:
+                symnorm_self_w = jnp.pad(symnorm_self_w, (0, n_extra))
         f_pad = ((f + 127) // 128) * 128
         if f_pad != f:
             x = jnp.pad(x, ((0, 0), (0, f_pad - f)))
@@ -369,6 +394,8 @@ def conv_aggregate(g, x, aggrs, *, include_self: bool = False,
             out = fused_multi_aggregate(
                 x, plan, aggrs, include_self=include_self,
                 symnorm_edge_w=symnorm_edge_w, symnorm_self_w=symnorm_self_w)
+        if n_extra:
+            out = out[:n]
         return out[:, :, :f] if f_pad != f else out
     return multi_aggregate(
         x, g.senders, g.receivers, aggrs, edge_mask=g.edge_mask,

@@ -99,21 +99,128 @@ def segment_min(data, segment_ids, num_segments: int, *, mask=None,
                         empty_value=-empty_value)
 
 
+def _var_from_moments(msq, m):
+    """``E[x^2] - E[x]^2`` forced to ONE materialized value.
+
+    The subtraction cancels catastrophically when var ~ 0 (e.g. a segment
+    of near-equal values). Without the barrier XLA:TPU may rematerialize
+    it per consumer with different FMA contraction, and the two copies can
+    round to OPPOSITE signs — the forward relu gate and the backward
+    relu' gate then disagree, which leaves one of the two large
+    (mutually-cancelling) VJP branches unopposed and inflates std
+    gradients by ~1/sqrt(eps) (measured: grads of 2566 vs a float64 truth
+    of 0.86 at var ~ 1e-6 on TPU; exact on CPU). The barrier pins every
+    consumer — sqrt, relu', both cotangent branches — to the same bits."""
+    return jax.lax.optimization_barrier(msq - m * m)
+
+
+def _make_varstd_edges(ids, counts, num_segments: int, include_self: bool,
+                       want_std: bool, sorted_hint: bool):
+    """Segment var/std over edge-gathered values with a STABLE custom VJP.
+
+    Forward keeps exact reference semantics (``E[x^2] - E[x]^2``,
+    ``std = sqrt(relu(var) + 1e-5)``, reference
+    ``experiments/layers.py:201-216``). The backward is rewritten in the
+    mathematically identical factored form
+
+        d_gathered[e] = 2 (gathered[e] - m[r]) * dvar[r] / denom[r]
+
+    instead of autodiff's pair of branch cotangents (``2 x * c_sumsq`` and
+    ``c_sum``), whose ~1/sqrt(eps)-amplified terms must cancel in fp32.
+    XLA:TPU can rematerialize ``var = msq - m*m`` per fusion with
+    different FMA contraction; at var ~ 0 the copies round to opposite
+    signs, the relu' gate of one branch closes while the other stays open,
+    and the uncancelled branch inflates the gradient by ~3 orders of
+    magnitude (measured 2566 vs a float64 truth of 0.86 — enough to blow
+    up real training). In the factored form a gate flip only toggles a
+    term bounded by ``~158 |x - m|``, which is tiny exactly where flips
+    can happen.
+
+    ``ids`` may contain out-of-range entries (masked edges); their
+    cotangent contribution is forced to zero with a fill-gather.
+    Returns a function ``f(gathered, node_vals) -> [N, F] var-or-std``.
+    """
+    denom0 = jnp.maximum(counts + (1.0 if include_self else 0.0), 1.0)
+    ids_safe = jnp.minimum(ids, num_segments - 1)
+    valid0 = (ids < num_segments).astype(jnp.float32)
+
+    def _bcast(v, ndim):
+        return v.reshape(v.shape + (1,) * (ndim - 1))
+
+    def _moments(gathered, node_vals):
+        denom = _bcast(denom0, gathered.ndim)
+        s = jax.ops.segment_sum(gathered, ids, num_segments=num_segments,
+                                indices_are_sorted=sorted_hint)
+        sq = jax.ops.segment_sum(gathered * gathered, ids,
+                                 num_segments=num_segments,
+                                 indices_are_sorted=sorted_hint)
+        if include_self:
+            s = s + node_vals
+            sq = sq + node_vals * node_vals
+        m = s / denom
+        msq = sq / denom
+        return m, _var_from_moments(msq, m)
+
+    @jax.custom_vjp
+    def f(gathered, node_vals):
+        _, var = _moments(gathered, node_vals)
+        return jnp.sqrt(jax.nn.relu(var) + 1e-5) if want_std else var
+
+    def f_fwd(gathered, node_vals):
+        m, var = _moments(gathered, node_vals)
+        out = jnp.sqrt(jax.nn.relu(var) + 1e-5) if want_std else var
+        return out, (gathered, node_vals, m, var, out)
+
+    def f_bwd(res, ct):
+        gathered, node_vals, m, var, out = res
+        gate = (var > 0).astype(ct.dtype)
+        dvar = ct * gate * (0.5 / out) if want_std else ct
+        coeff = 2.0 * dvar / _bcast(denom0, ct.ndim)     # [N, ...]
+        # ONE gather for both per-receiver operands. Two separate gathers
+        # with the same index vector here get mis-merged by XLA:TPU under
+        # jit (measured: the (x - m) operand reads the coeff buffer,
+        # squaring the ~1/sqrt(eps) factor -> grads of 1.7e5 vs a float64
+        # truth of 0.19; eager mode and CPU are exact). Packing (m, coeff)
+        # into one array leaves a single gather op to fuse.
+        pack = jnp.stack([m, coeff], axis=1)             # [N, 2, ...]
+        ge = jnp.take(pack, ids_safe, axis=0)            # [E, 2, ...]
+        ce = ge[:, 1] * _bcast(valid0, ct.ndim)
+        d_gathered = (gathered - ge[:, 0]) * ce
+        if include_self:
+            d_node = (node_vals - m) * coeff
+        else:
+            d_node = jnp.zeros_like(node_vals)
+        return d_gathered, d_node
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _varstd_dispatch(data, segment_ids, num_segments, mask,
+                     indices_are_sorted, want_std):
+    ids = _masked_ids(segment_ids, num_segments, mask)
+    counts = segment_count(segment_ids, num_segments, mask=mask,
+                           indices_are_sorted=indices_are_sorted,
+                           dtype=data.dtype)
+    f = _make_varstd_edges(
+        ids, counts, num_segments, include_self=False, want_std=want_std,
+        sorted_hint=indices_are_sorted and mask is None)
+    zeros = jnp.zeros((num_segments,) + data.shape[1:], data.dtype)
+    return f(data, zeros)
+
+
 def segment_var(data, segment_ids, num_segments: int, *, mask=None,
                 indices_are_sorted: bool = False):
-    m = segment_mean(data, segment_ids, num_segments, mask=mask,
-                     indices_are_sorted=indices_are_sorted)
-    msq = segment_mean(data * data, segment_ids, num_segments, mask=mask,
-                       indices_are_sorted=indices_are_sorted)
-    return msq - m * m
+    return _varstd_dispatch(data, segment_ids, num_segments, mask,
+                            indices_are_sorted, want_std=False)
 
 
 def segment_std(data, segment_ids, num_segments: int, *, mask=None,
                 indices_are_sorted: bool = False, eps: float = 1e-5):
-    v = segment_var(data, segment_ids, num_segments, mask=mask,
-                    indices_are_sorted=indices_are_sorted)
     # sqrt(relu(var) + 1e-5): reference experiments/layers.py:214-216.
-    return jnp.sqrt(jax.nn.relu(v) + eps)
+    del eps  # fixed reference epsilon inside the stable kernel
+    return _varstd_dispatch(data, segment_ids, num_segments, mask,
+                            indices_are_sorted, want_std=True)
 
 
 def segment_softmax(logits, segment_ids, num_segments: int, *, mask=None,
@@ -271,7 +378,7 @@ def assemble_aggregators(
                 denom = jnp.maximum(counts, 1.0)[:, None]
                 m = p["sum"] / denom
                 msq = p["sumsq"] / denom
-            out = msq - m * m
+            out = _var_from_moments(msq, m)
             if a == "std":
                 out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
         elif a == "symnorm":
@@ -330,23 +437,8 @@ def multi_aggregate(
         counts = segment_count(receivers, num_segments, mask=edge_mask,
                                indices_are_sorted=indices_are_sorted,
                                dtype=node_vals.dtype)
-    seg_sumsq = None
-    if needs & {"var", "std"}:
-        seg_sumsq = jax.ops.segment_sum(gathered * gathered, ids,
-                                        num_segments=num_segments,
-                                        indices_are_sorted=sorted_hint)
-
-    def _mean_pair():
-        # (mean, mean_of_squares) with optional virtual self-loop.
-        if include_self:
-            denom = jnp.maximum(counts + 1.0, 1.0)[:, None]
-            m = (seg_sum + node_vals) / denom
-            msq = (seg_sumsq + node_vals * node_vals) / denom
-        else:
-            denom = jnp.maximum(counts, 1.0)[:, None]
-            m = seg_sum / denom
-            msq = seg_sumsq / denom
-        return m, msq
+    # var/std run through the stable-VJP helper (which recomputes their
+    # segment sums; XLA CSEs them with seg_sum above when both appear)
 
     outs = []
     for a in aggrs:
@@ -376,10 +468,10 @@ def multi_aggregate(
                 out = jnp.where((counts > 0)[:, None], mn,
                                 jnp.zeros_like(node_vals))
         elif a in ("var", "std"):
-            m, msq = _mean_pair()
-            out = msq - m * m
-            if a == "std":
-                out = jnp.sqrt(jax.nn.relu(out) + 1e-5)
+            out = _make_varstd_edges(
+                ids, counts, num_segments, include_self,
+                want_std=(a == "std"), sorted_hint=sorted_hint,
+            )(gathered, node_vals)
         elif a == "symnorm":
             if symnorm_edge_w is None:
                 raise ValueError("symnorm aggregator requires symnorm_edge_w")

@@ -156,7 +156,8 @@ def test_loader_emits_static_kernel_plans():
     for g, _y in loader:
         plan = g.kernel_plan
         assert plan is not None
-        assert plan.n_pad == budget[0]
+        # one shadow block beyond the budget holds the redirected pad edges
+        assert plan.n_pad == budget[0] + GraphLoader.PLAN_BLOCK
         shapes.add((plan.fwd.senders.shape, plan.fwd.cell_ptr.shape,
                     plan.bwd.senders.shape, plan.deg.shape))
     assert len(shapes) == 1
@@ -198,3 +199,76 @@ def test_wide_width_column_split(monkeypatch):
     np.testing.assert_allclose(np.asarray(grad)[:n], np.asarray(ref_grad),
                                rtol=1e-3, atol=1e-4)
     del ref_out
+
+
+def test_padded_batch_pad_rows_match_xla(monkeypatch):
+    """Loader-plan batches: padded edges must contribute NOTHING to any
+    model row in either pass, INCLUDING the padding rows themselves.
+
+    Regression: pointing pad edges at an in-range padding row inflated the
+    pad row's forward aggregates by the duplicate count and, through the
+    max-tie VJP, amplified any nonzero pad-row cotangent (e.g. via an
+    unmasked op) ~1000x per layer — exploding real zinc training to NaN.
+    The loss here deliberately does NOT mask pad rows to catch exactly
+    that coupling.
+    """
+    from egc_tpu.data.loaders import GraphLoader, padding_budget
+    from egc_tpu.data import synthetic
+    from egc_tpu.ops import dispatch as dsp
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    splits = synthetic.synthetic_zinc(num_graphs=30)
+    graphs = splits["train"]
+    budget = padding_budget(graphs, 16, node_multiple=GraphLoader.PLAN_BLOCK)
+    loader = GraphLoader(graphs, 16, shuffle=False, budget=budget,
+                         kernel_plans=True)
+    g, _y = next(iter(loader))
+    g = jax.tree.map(jnp.asarray, g)
+    n = g.num_nodes
+    assert int(np.asarray(g.edge_mask).sum()) < g.num_edges  # has pad edges
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
+
+    def vg(aggrs, fused):
+        proj = jnp.asarray(
+            np.random.default_rng(9).normal(size=(n, len(aggrs), 128))
+            .astype(np.float32))
+
+        def loss(v):
+            if fused:
+                out = dsp.conv_aggregate(g, v, aggrs)
+            else:
+                out = multi_aggregate(v, g.senders, g.receivers, aggrs,
+                                      edge_mask=g.edge_mask,
+                                      indices_are_sorted=True)
+            return jnp.sum(out * proj)
+
+        return jax.value_and_grad(loss)(x)
+
+    aggrs = ("sum", "mean", "max", "min")
+    vf, gf = vg(aggrs, True)
+    vx, gx = vg(aggrs, False)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-4)
+    # every row — pad rows included — must match the masked XLA path
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gx),
+                               rtol=1e-3, atol=1e-3)
+
+    # std: the sqrt(relu(var)+1e-5) gate flips on last-ulp fp-order
+    # differences when var ~ 0 (both flips are valid subgradients; the
+    # 0.5/sqrt(1e-5) factor amplifies them) — compare grads away from the
+    # ill-conditioned positions only
+    vf, gf = vg(("std",), True)
+    vx, gx = vg(("std",), False)
+    np.testing.assert_allclose(float(vf), float(vx), rtol=1e-4)
+    var = np.asarray(multi_aggregate(x, g.senders, g.receivers, ("var",),
+                                     edge_mask=g.edge_mask,
+                                     indices_are_sorted=True))[:, 0]
+    send = np.asarray(g.senders)[np.asarray(g.edge_mask)]
+    recv = np.asarray(g.receivers)[np.asarray(g.edge_mask)]
+    ill = np.abs(var) < 1e-4                      # [n, 128] receiver-side
+    well = np.ones((n, 128), bool)                # sender-side
+    np.logical_and.at(well, send, ~ill[recv])
+    d = np.abs(np.asarray(gf) - np.asarray(gx))
+    assert d[well].max() < 1e-3
