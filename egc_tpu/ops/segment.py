@@ -27,8 +27,10 @@ shapes and one less gather per edge.
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -79,12 +81,53 @@ def segment_mean(data, segment_ids, num_segments: int, *, mask=None,
     return s / cnt.reshape(cnt.shape + (1,) * (s.ndim - 1))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _segment_max_raw(data, ids, num_segments, indices_are_sorted):
+    """``jax.ops.segment_max`` with a TPU-safe custom VJP.
+
+    Autodiff's scatter-max backward needs two SAME-INDEX gathers (the
+    segment maxima and the cotangent, both at ``ids``); XLA:TPU has been
+    observed to mis-merge same-index gather pairs under fusion (grossly
+    wrong gradients — measured rel. err 0.84 vs a CPU ground truth on the
+    hetero mean/max path, exact on CPU; same bug class as
+    ``_make_varstd_edges``'s notes and ``nn.conv.attention``'s single-
+    gather rule). The custom backward packs both operands into ONE gather.
+
+    Tie semantics: the FULL cotangent is routed to every achieving
+    element (the fused Pallas kernels' convention) instead of autodiff's
+    even split — identical on coalesced graphs with continuous features.
+    """
+    return jax.ops.segment_max(data, ids, num_segments=num_segments,
+                               indices_are_sorted=indices_are_sorted)
+
+
+def _segment_max_raw_fwd(data, ids, num_segments, indices_are_sorted):
+    out = _segment_max_raw(data, ids, num_segments, indices_are_sorted)
+    return out, (data, ids, out)
+
+
+def _segment_max_raw_bwd(num_segments, indices_are_sorted, res, ct):
+    data, ids, out = res
+    e = data.shape[0]
+    d2 = data.reshape(e, -1)
+    f = d2.shape[1]
+    packed = jnp.concatenate(
+        [out.reshape(num_segments, f), ct.reshape(num_segments, f)], axis=1)
+    rows = jnp.take(packed, jnp.minimum(ids, num_segments - 1), axis=0)
+    achieved = (d2 == rows[:, :f]) & (ids < num_segments)[:, None]
+    d_data = jnp.where(achieved, rows[:, f:], 0.0).reshape(data.shape)
+    return d_data, np.zeros(ids.shape, jax.dtypes.float0)
+
+
+_segment_max_raw.defvjp(_segment_max_raw_fwd, _segment_max_raw_bwd)
+
+
 def segment_max(data, segment_ids, num_segments: int, *, mask=None,
                 indices_are_sorted: bool = False, empty_value=0.0):
     ids = _masked_ids(segment_ids, num_segments, mask)
-    out = jax.ops.segment_max(
-        data, ids, num_segments=num_segments,
-        indices_are_sorted=indices_are_sorted and mask is None,
+    out = _segment_max_raw(
+        data, ids, num_segments,
+        indices_are_sorted and mask is None,
     )
     cnt = segment_count(segment_ids, num_segments, mask=mask)
     has = (cnt > 0).reshape(cnt.shape + (1,) * (out.ndim - 1))
@@ -231,8 +274,8 @@ def segment_softmax(logits, segment_ids, num_segments: int, *, mask=None,
     """
     ids = _masked_ids(segment_ids, num_segments, mask)
     neg_big = jnp.asarray(jnp.finfo(logits.dtype).min, logits.dtype)
-    mx = jax.ops.segment_max(logits, ids, num_segments=num_segments,
-                             indices_are_sorted=indices_are_sorted and mask is None)
+    mx = _segment_max_raw(logits, ids, num_segments,
+                          indices_are_sorted and mask is None)
     mx = jnp.where(jnp.isfinite(mx), mx, jnp.zeros_like(mx))
     shifted = logits - mx[segment_ids]
     ex = jnp.exp(shifted)
@@ -288,13 +331,11 @@ def segment_primitives(
                                    indices_are_sorted=indices_are_sorted,
                                    dtype=src_vals.dtype)
         elif p == "max":
-            out[p] = jax.ops.segment_max(gathered, ids,
-                                         num_segments=num_segments,
-                                         indices_are_sorted=sorted_hint)
+            out[p] = _segment_max_raw(gathered, ids, num_segments,
+                                      sorted_hint)
         elif p == "min":
-            out[p] = -jax.ops.segment_max(-gathered, ids,
-                                          num_segments=num_segments,
-                                          indices_are_sorted=sorted_hint)
+            out[p] = -_segment_max_raw(-gathered, ids, num_segments,
+                                       sorted_hint)
         else:  # pragma: no cover
             raise ValueError(p)
     return out
@@ -450,8 +491,7 @@ def multi_aggregate(
             else:
                 out = seg_sum / jnp.maximum(counts, 1.0)[:, None]
         elif a == "max":
-            mx = jax.ops.segment_max(gathered, ids, num_segments=num_segments,
-                                     indices_are_sorted=sorted_hint)
+            mx = _segment_max_raw(gathered, ids, num_segments, sorted_hint)
             if include_self:
                 out = jnp.maximum(jnp.where((counts > 0)[:, None], mx, node_vals),
                                   node_vals)
@@ -459,8 +499,8 @@ def multi_aggregate(
                 out = jnp.where((counts > 0)[:, None], mx,
                                 jnp.zeros_like(node_vals))
         elif a == "min":
-            mn = -jax.ops.segment_max(-gathered, ids, num_segments=num_segments,
-                                      indices_are_sorted=sorted_hint)
+            mn = -_segment_max_raw(-gathered, ids, num_segments,
+                                   sorted_hint)
             if include_self:
                 out = jnp.minimum(jnp.where((counts > 0)[:, None], mn, node_vals),
                                   node_vals)

@@ -6,6 +6,7 @@ sqrt(relu(v)+1e-5)); see egc_tpu/ops/segment.py docstring.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -181,3 +182,36 @@ def test_aggr_aliases():
     assert canonical_aggr("symadd") == "symnorm"
     with pytest.raises(ValueError):
         canonical_aggr("bogus")
+
+
+def test_segment_max_custom_vjp_matches_autodiff(rng):
+    """_segment_max_raw's packed-gather backward (the TPU-safe form — see
+    ops.segment docstring) must equal jax.ops.segment_max's autodiff on
+    tie-free data, for 1-D and 2-D values and masked ids."""
+    from egc_tpu.ops.segment import _segment_max_raw, segment_max
+
+    n, e = 23, 90
+    ids = jnp.asarray(rng.integers(0, n, e).astype(np.int32))
+    for shape in ((e,), (e, 5)):
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        proj = jnp.asarray(rng.normal(size=(n,) + shape[1:])
+                           .astype(np.float32))
+
+        def f_safe(v):
+            return jnp.sum(_segment_max_raw(v, ids, n, False) * proj)
+
+        def f_jax(v):
+            return jnp.sum(jax.ops.segment_max(v, ids, num_segments=n)
+                           * proj)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(f_safe)(x)),
+                                   np.asarray(jax.grad(f_jax)(x)),
+                                   rtol=1e-6, atol=1e-6)
+
+    # masked path: masked entries must get zero gradient
+    x = jnp.asarray(rng.normal(size=(e, 4)).astype(np.float32))
+    mask = jnp.asarray(rng.random(e) > 0.4)
+    proj = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    g = jax.grad(lambda v: jnp.sum(
+        segment_max(v, ids, n, mask=mask) * proj))(x)
+    assert np.abs(np.asarray(g)[~np.asarray(mask)]).max() == 0.0
