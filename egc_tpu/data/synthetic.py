@@ -196,8 +196,11 @@ def synthetic_rmag(num_paper=800, num_author=400, num_inst=40, num_fos=80,
                                 num_features=num_features, seed=seed)
 
     def rand_edges(n_src, n_dst, count):
-        return (rng.integers(0, n_src, count).astype(np.int32),
-                rng.integers(0, n_dst, count).astype(np.int32))
+        # coalesced (duplicate-free), like the real OGB relations — the
+        # fused max/min VJP assumes coalesced edges (ops.dispatch docstring)
+        s = rng.integers(0, n_src, count).astype(np.int32)
+        r = rng.integers(0, n_dst, count).astype(np.int32)
+        return tuple(np.unique(np.stack([s, r]), axis=1))
 
     aw_s, aw_r = rand_edges(num_author, num_paper, num_paper * 3)
     ai_s, ai_r = rand_edges(num_author, num_inst, num_author)

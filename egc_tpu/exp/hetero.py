@@ -74,6 +74,10 @@ class RMagConfig(ExperimentConfig):
     def data(self, hparams):
         raw = self.load_hetero()
         hg = hetero_from_numpy(raw["nodes"], raw["edges"])
+        if jax.default_backend() == "tpu":
+            # per-relation fused-kernel plans (host-side, once per dataset)
+            from egc_tpu.graph.hetero import attach_hetero_kernel_plans
+            hg = attach_hetero_kernel_plans(hg)
         hg = jax.tree.map(jnp.asarray, hg)
         n_paper = hg.num_nodes("paper")
         y = np.zeros(n_paper, np.int32)

@@ -9,7 +9,7 @@ destination-type array.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -35,6 +35,10 @@ class HeteroGraph:
     senders: Dict[str, jnp.ndarray]    # rel_key -> [E_r] into src-type rows
     receivers: Dict[str, jnp.ndarray]  # rel_key -> [E_r] into dst-type rows
     edge_mask: Dict[str, jnp.ndarray]
+    # rel_key -> BipartiteKernelPlan (ops.dispatch); attached on TPU via
+    # attach_hetero_kernel_plans so the hetero convs run the fused windowed
+    # kernels per relation instead of XLA gather/scatter
+    kernel_plans: Optional[Dict[str, Any]] = None
 
     @property
     def node_types(self):
@@ -85,3 +89,23 @@ def hetero_from_numpy(nodes: Dict[str, np.ndarray],
 
     return HeteroGraph(nodes=padded_nodes, node_mask=masks, senders=senders,
                        receivers=receivers, edge_mask=emasks)
+
+
+def attach_hetero_kernel_plans(hg: HeteroGraph, **plan_kwargs) -> HeteroGraph:
+    """Build per-relation ``BipartiteKernelPlan``s (host-side, once per
+    dataset) and attach them. Call on the numpy-stage graph BEFORE moving
+    to device; masked (padding) edges are dropped from the plans.
+
+    ``plan_kwargs`` forward to ``build_bipartite_kernel_plan`` (geometry
+    overrides for tests/tuning).
+    """
+    from egc_tpu.ops.dispatch import build_bipartite_kernel_plan
+
+    plans = {}
+    for key in hg.relations:
+        src, _, dst = split_rel_key(key)
+        plans[key] = build_bipartite_kernel_plan(
+            np.asarray(hg.senders[key]), np.asarray(hg.receivers[key]),
+            hg.num_nodes(src), hg.num_nodes(dst),
+            edge_mask=np.asarray(hg.edge_mask[key]), **plan_kwargs)
+    return hg.replace(kernel_plans=plans)

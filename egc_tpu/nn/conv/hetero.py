@@ -16,12 +16,31 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 from egc_tpu.graph.hetero import HeteroGraph, split_rel_key
 from egc_tpu.nn import init as einit
 from egc_tpu.ops import segment_mean, segment_max
+
+
+def _rel_multi_aggregate(hg: HeteroGraph, key: str, x_src, n_dst: int,
+                         aggrs: Tuple[str, ...]):
+    """Per-relation aggregation of source-node rows into the destination
+    node space: returns [n_dst, A, F]. Dispatches to the fused bipartite
+    windowed kernel when the graph carries a plan for this relation and we
+    are on TPU; XLA masked segment ops otherwise (identical semantics)."""
+    plans = getattr(hg, "kernel_plans", None) or {}
+    plan = plans.get(key)
+    if plan is not None and jax.default_backend() == "tpu":
+        from egc_tpu.ops.dispatch import bipartite_multi_aggregate
+        return bipartite_multi_aggregate(x_src, plan, aggrs)[:n_dst]
+    fns = {"mean": segment_mean, "max": segment_max}
+    gathered = jnp.take(x_src, hg.senders[key], axis=0)
+    outs = [fns[a](gathered, hg.receivers[key], n_dst,
+                   mask=hg.edge_mask[key]) for a in aggrs]
+    return jnp.stack(outs, axis=1)
 
 
 class RGCNConv(nn.Module):
@@ -39,9 +58,8 @@ class RGCNConv(nn.Module):
         for key in hg.relations:
             src, _, dst = split_rel_key(key)
             n_dst = hg.num_nodes(dst)
-            agg = segment_mean(
-                jnp.take(x_dict[src], hg.senders[key], axis=0),
-                hg.receivers[key], n_dst, mask=hg.edge_mask[key])
+            agg = _rel_multi_aggregate(hg, key, x_dict[src], n_dst,
+                                       ("mean",))[:, 0]
             out[dst] = out[dst] + nn.Dense(
                 self.out_channels, use_bias=False,
                 kernel_init=einit.torch_linear_kernel,
@@ -82,15 +100,10 @@ class REGConv(nn.Module):
         for key in hg.relations:
             src, _, dst = split_rel_key(key)
             n_dst = hg.num_nodes(dst)
-            gathered = jnp.take(bases[src], hg.senders[key], axis=0)
-            aggs = []
-            for a in self.aggrs:
-                fn = segment_mean if a == "mean" else segment_max
-                aggs.append(fn(gathered, hg.receivers[key], n_dst,
-                               mask=hg.edge_mask[key]))
             # [N_dst, A, B, L] stacked aggregator-major like the reference's
             # torch.stack(...).view(-1, B*A?, L) (rmag/models.py:135-139)
-            agg = jnp.stack(aggs, axis=1).reshape(n_dst, A * B, L)
+            agg = _rel_multi_aggregate(hg, key, bases[src], n_dst,
+                                       self.aggrs).reshape(n_dst, A * B, L)
             fan_in = x_dict[dst].shape[-1]
             w = nn.Dense(A * H * B, kernel_init=einit.torch_linear_kernel,
                          bias_init=einit.torch_linear_bias(fan_in),

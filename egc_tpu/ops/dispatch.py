@@ -13,9 +13,11 @@ on node-level arrays — cheap, fused, and autodiff'd; the custom VJP wraps
 only the edge-level primitive map.
 
 Tie semantics of the max/min VJP: the full cotangent is routed to EVERY
-edge achieving the extremum (jax.ops.segment_max splits it across ties).
-Identical on coalesced graphs with continuous features — which all the
-supported datasets are; duplicate-edge multigraphs would differ.
+edge achieving the extremum — and since round 2 the XLA path's
+``_segment_max_raw`` uses the same convention (its TPU-safe packed-gather
+backward), so the two paths agree even on ties. Duplicate-edge
+multigraphs would double-count either way; all supported datasets are
+coalesced.
 """
 
 from __future__ import annotations
@@ -68,6 +70,27 @@ class GraphKernelPlan:
     fwd_attn: Optional[WindowPlanDev] = None
     bwd_attn: Optional[WindowPlanDev] = None
     n_pad: int = struct.field(pytree_node=False, default=0)
+
+
+def _attn_geometry():
+    """Attention plan geometry (block_rows, window_rows) for the forward
+    and backward (transpose) layouts. Power-of-two only (the plan n_pad
+    gate uses max() as the alignment). Overridable for hardware tuning via
+    EGC_TPU_ATTN_GEOM="FBRxFWR[,BBRxBWR]" (backward defaults to forward).
+    """
+    import os
+    env = os.environ.get("EGC_TPU_ATTN_GEOM")
+    if not env:
+        return (2048, 1024), (1024, 1024)
+    parts = env.split(",")
+
+    def parse(p):
+        br, wr = p.lower().split("x")
+        return (int(br), int(wr))
+
+    f = parse(parts[0])
+    b = parse(parts[1]) if len(parts) > 1 else f
+    return f, b
 
 
 def build_kernel_plan(
@@ -139,11 +162,15 @@ def build_kernel_plan(
             window_rows=bwd_narrow_window_rows)
         assert bplan_narrow["n_pad"] == n_pad
     fplan_attn = bplan_attn = None
-    if attention and n_pad % 1024 == 0:
+    fgeom, bgeom = _attn_geometry()
+    attn_align = max(fgeom + bgeom)
+    if attention and n_pad % attn_align == 0:
         fplan_attn = make_window_plan_np(senders, receivers, n_pad,
-                                         block_rows=2048, window_rows=1024)
+                                         block_rows=fgeom[0],
+                                         window_rows=fgeom[1])
         bplan_attn = make_window_plan_np(receivers, senders, n_pad,
-                                         block_rows=1024, window_rows=1024)
+                                         block_rows=bgeom[0],
+                                         window_rows=bgeom[1])
         assert fplan_attn["n_pad"] == n_pad and bplan_attn["n_pad"] == n_pad
 
     deg = np.zeros(n_pad, np.float32)
@@ -169,6 +196,132 @@ def build_kernel_plan(
         fwd_attn=to_dev(fplan_attn) if fplan_attn else None,
         bwd_attn=to_dev(bplan_attn) if bplan_attn else None,
         deg=jnp.asarray(deg), n_pad=n_pad)
+
+
+@struct.dataclass
+class BipartiteKernelPlan:
+    """Per-relation kernel plan for hetero (typed) graphs: senders index a
+    SOURCE-type node space, receivers a distinct DESTINATION-type space.
+    Plays the reference's per-relation SpMM role
+    (``experiments/rmag/models.py:32-148``) on the fused windowed kernels.
+    """
+
+    fwd: WindowPlanDev              # windows over src rows, blocks over dst
+    bwd: WindowPlanDev              # transpose: windows dst, blocks src
+    deg: jnp.ndarray                # [n_dst_pad] valid in-degree
+    n_src_pad: int = struct.field(pytree_node=False, default=0)
+    n_dst_pad: int = struct.field(pytree_node=False, default=0)
+
+
+def build_bipartite_kernel_plan(
+    senders: np.ndarray,
+    receivers: np.ndarray,
+    num_src: int,
+    num_dst: int,
+    *,
+    edge_mask: Optional[np.ndarray] = None,
+    fwd_block_rows: int = 2048,
+    fwd_window_rows: int = 4096,
+    bwd_block_rows: int = 4096,
+    bwd_window_rows: int = 1024,
+) -> BipartiteKernelPlan:
+    """Host-side per-relation plan (static per hetero dataset).
+
+    Masked edges are DROPPED (plans carry their own edge arrays; hetero
+    full-graph tasks never re-batch, so no static edge budget is needed).
+    """
+    senders = np.asarray(senders)
+    receivers = np.asarray(receivers)
+    if edge_mask is not None:
+        edge_mask = np.asarray(edge_mask)
+        senders = senders[edge_mask]
+        receivers = receivers[edge_mask]
+
+    def round_up(x, m):
+        return ((x + m - 1) // m) * m
+
+    n_src_pad = round_up(num_src, max(fwd_window_rows, bwd_block_rows))
+    n_dst_pad = round_up(num_dst, max(fwd_block_rows, bwd_window_rows))
+    fplan = make_window_plan_np(
+        senders, receivers, n_src_pad, block_rows=fwd_block_rows,
+        window_rows=fwd_window_rows, num_out_nodes=n_dst_pad)
+    bplan = make_window_plan_np(
+        receivers, senders, n_dst_pad, block_rows=bwd_block_rows,
+        window_rows=bwd_window_rows, num_out_nodes=n_src_pad)
+    assert fplan["n_pad"] == n_src_pad and fplan["n_out_pad"] == n_dst_pad
+    assert bplan["n_pad"] == n_dst_pad and bplan["n_out_pad"] == n_src_pad
+    deg = np.zeros(n_dst_pad, np.float32)
+    np.add.at(deg, receivers, 1.0)
+
+    def to_dev(p):
+        return WindowPlanDev(
+            senders=jnp.asarray(p["senders"]),
+            receivers=jnp.asarray(p["receivers"]),
+            cell_ptr=jnp.asarray(p["cell_ptr"]),
+            edge_perm=jnp.asarray(p["perm"].astype(np.int32)),
+            r_blocks=p["R"], s_blocks=p["S"],
+            block_rows=p["block_rows"], window_rows=p["window_rows"])
+
+    return BipartiteKernelPlan(
+        fwd=to_dev(fplan), bwd=to_dev(bplan), deg=jnp.asarray(deg),
+        n_src_pad=n_src_pad, n_dst_pad=n_dst_pad)
+
+
+def bipartite_multi_aggregate(
+    x_src: jnp.ndarray,                # [n_src(<=n_src_pad), F]
+    plan: BipartiteKernelPlan,
+    aggrs: Sequence[str],
+) -> jnp.ndarray:
+    """Fused per-relation aggregation: returns [n_dst_pad, A, F_pad-free].
+
+    Matches the XLA masked segment ops' semantics (empty segments -> 0).
+    Supports sum/mean/max/min (the hetero convs' aggregators). Rows are
+    padded to the plan's src size, features to a lane multiple; callers
+    slice the destination rows they need.
+    """
+    aggrs = tuple(canonical_aggr(a) for a in aggrs)
+    n, f = x_src.shape
+    if n > plan.n_src_pad:
+        raise ValueError(f"x_src rows {n} exceed plan n_src_pad "
+                         f"{plan.n_src_pad}")
+    f_pad = ((f + 127) // 128) * 128
+    x = jnp.pad(x_src, ((0, plan.n_src_pad - n), (0, f_pad - f)))
+    if f_pad > 128:
+        # column-group split (see conv_aggregate): VMEM budgets are sized
+        # for 128-wide windows; aggregation is column-independent
+        out = jnp.concatenate(
+            [bipartite_multi_aggregate(x[:, k:k + 128], plan, aggrs)
+             for k in range(0, f_pad, 128)], axis=2)
+        return out[:, :, :f]
+
+    prims = []
+    if set(aggrs) & {"sum", "mean"}:
+        prims.append("sum")
+    if "max" in aggrs:
+        prims.append("max")
+    if "min" in aggrs:
+        prims.append("min")
+    unsupported = set(aggrs) - {"sum", "mean", "max", "min"}
+    if unsupported:
+        raise ValueError(f"bipartite aggregation does not support "
+                         f"{sorted(unsupported)}")
+
+    outs = _fused_primitives(plan.fwd, plan.bwd, tuple(prims), None, None)(x)
+    p = dict(zip(prims, outs))
+    deg = plan.deg[:, None]
+    res = []
+    for a in aggrs:
+        if a == "sum":
+            out = p["sum"]
+        elif a == "mean":
+            out = p["sum"] / jnp.maximum(deg, 1.0)
+        elif a == "max":
+            out = jnp.where(deg > 0, p["max"], 0.0)
+        else:  # min
+            out = jnp.where(deg > 0, p["min"], 0.0)
+        res.append(out)
+    out = jnp.stack(res, axis=1)
+    return out[:, :, :f] if f_pad != f else out
 
 
 def fused_multi_aggregate(

@@ -240,6 +240,7 @@ def make_window_plan_np(
     block_rows: int = 2048,
     window_rows: int = 4096,
     chunk: int = 1024,
+    num_out_nodes: Optional[int] = None,
 ):
     """Host-side edge layout for ``windowed_gather_reduce``.
 
@@ -248,15 +249,28 @@ def make_window_plan_np(
     ``cell_ptr[i*S+s] : cell_ptr[i*S+s+1]`` and every sender in it lies
     inside window s. Static per graph — compute once per dataset.
 
-    Returns dict(senders, receivers, perm, cell_ptr, R, S, n_pad).
+    ``num_out_nodes``: BIPARTITE mode (hetero relations, reference
+    ``experiments/rmag/models.py:32-148`` per-relation SpMM) — senders
+    index a source node space of ``num_nodes`` rows (windows), receivers a
+    distinct destination space of ``num_out_nodes`` rows (blocks).
+
+    Returns dict(senders, receivers, perm, cell_ptr, R, S, n_pad,
+    n_out_pad).
     """
-    n_pad = ((num_nodes + block_rows - 1) // block_rows) * block_rows
-    n_pad = ((n_pad + window_rows - 1) // window_rows) * window_rows
-    r_blocks = n_pad // block_rows
+    def round_up(x, m):
+        return ((x + m - 1) // m) * m
+
+    if num_out_nodes is None:
+        n_pad = round_up(round_up(num_nodes, block_rows), window_rows)
+        n_out_pad = n_pad
+    else:
+        n_pad = round_up(num_nodes, window_rows)          # sender/window side
+        n_out_pad = round_up(num_out_nodes, block_rows)   # receiver/block side
+    r_blocks = n_out_pad // block_rows
     s_blocks = n_pad // window_rows
     rb = receivers.astype(np.int64) // block_rows
     sb = senders.astype(np.int64) // window_rows
-    key = (rb * s_blocks + sb) * num_nodes + receivers
+    key = (rb * s_blocks + sb) * np.int64(n_out_pad) + receivers
     order = np.argsort(key, kind="stable")
     cell = (rb * s_blocks + sb)[order]
     cell_ptr = np.searchsorted(cell, np.arange(r_blocks * s_blocks + 1)
@@ -267,9 +281,68 @@ def make_window_plan_np(
         "perm": order,
         "cell_ptr": cell_ptr,
         "R": r_blocks, "S": s_blocks, "n_pad": n_pad,
+        "n_out_pad": n_out_pad,
         "block_rows": block_rows, "window_rows": window_rows,
         "chunk": chunk,
     }
+
+
+def _chunk_blocking(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                    sem_idx, sem_w, seq_ref, streams, process_chunk):
+    """Blocking per-chunk index DMA (the EGC kernels' scheme; slot 0 only).
+
+    Drop-in alternative to ``_chunk_pipeline`` with the same signature.
+    The EGC gather-reduce kernels run near their measured per-edge floor
+    with this scheme (the chunk DMA round trip amortizes over the cell),
+    so it serves as the baseline when evaluating the cross-cell pipeline
+    on a new kernel/geometry (select via EGC_TPU_ATTN_BLOCKING=1)."""
+    del seq_ref
+    senders_hbm, receivers_hbm, edge_w_hbm = streams
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    g = i * s_blocks + s
+    start = cell_ptr_ref[g]
+    end = cell_ptr_ref[g + 1]
+    first_chunk = start // chunk
+    num_chunks = pl.cdiv(end, chunk) - first_chunk
+
+    def chunk_body(c, _):
+        c0 = pl.multiple_of((first_chunk + c) * chunk, chunk)
+        cp_s = pltpu.make_async_copy(
+            senders_hbm.at[pl.ds(c0, chunk)],
+            sidx.at[pl.ds(0, chunk)], sem_idx.at[0])
+        cp_r = pltpu.make_async_copy(
+            receivers_hbm.at[pl.ds(c0, chunk)],
+            ridx.at[pl.ds(0, chunk)], sem_idx.at[1])
+        cp_s.start()
+        cp_r.start()
+        if edge_w_hbm is not None:
+            cp_w = pltpu.make_async_copy(
+                edge_w_hbm.at[pl.ds(c0, chunk)],
+                wbuf.at[pl.ds(0, chunk)], sem_w.at[0])
+            cp_w.start()
+            cp_w.wait()
+        cp_s.wait()
+        cp_r.wait()
+        lo = jnp.maximum(start - c0, 0)
+        n_e = jnp.minimum(end - c0, chunk)
+        process_chunk(0, lo, n_e)
+        return 0
+
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+
+
+def _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                 sem_idx, sem_w, seq_ref, streams, process_chunk):
+    """Edge-chunk sweep used by the attention kernels: cross-cell pipeline
+    by default, blocking scheme when EGC_TPU_ATTN_BLOCKING=1 (trace-time
+    switch for A/B measurement on hardware)."""
+    import os
+    impl = (_chunk_blocking
+            if os.environ.get("EGC_TPU_ATTN_BLOCKING", "0") == "1"
+            else _chunk_pipeline)
+    return impl(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                sem_idx, sem_w, seq_ref, streams, process_chunk)
 
 
 def _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
@@ -460,8 +533,11 @@ def windowed_gather_reduce(
     n, f = vals.shape
     if f % 128:
         raise ValueError("feature dim must be a multiple of 128")
-    if n != r_blocks * block_rows or n != s_blocks * window_rows:
-        raise ValueError("vals rows must equal padded plan size")
+    if n != s_blocks * window_rows:
+        raise ValueError("vals rows must equal the padded window-side size")
+    # output rows live in the block space — equal to n for homogeneous
+    # plans, the destination-type padded size for bipartite plans
+    n_out = r_blocks * block_rows
     has_w = edge_w is not None
     if edge_w is None:
         edge_w = jnp.zeros((plan_senders.shape[0],), vals.dtype)
@@ -499,7 +575,7 @@ def windowed_gather_reduce(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    out_shapes = tuple(jax.ShapeDtypeStruct((n, f), vals.dtype)
+    out_shapes = tuple(jax.ShapeDtypeStruct((n_out, f), vals.dtype)
                        for _ in ops)
     outs = pl.pallas_call(
         kernel,
@@ -617,8 +693,14 @@ def windowed_gather_reduce_bwd(
     segs = tuple(segs)
     n, f = vals.shape
     k = len(segs)
-    if coeff.shape != (n, k * f):
-        raise ValueError(f"coeff shape {coeff.shape} != {(n, k * f)}")
+    # coeff rows live in the WINDOW (original-receiver) space; vals/output
+    # rows in the block (original-sender) space — distinct for bipartite
+    # (hetero-relation) transpose plans
+    if coeff.shape != (s_blocks * window_rows, k * f):
+        raise ValueError(
+            f"coeff shape {coeff.shape} != {(s_blocks * window_rows, k * f)}")
+    if n != r_blocks * block_rows:
+        raise ValueError("vals rows must equal the padded block-side size")
     has_w = edge_w is not None
     if edge_w is None:
         edge_w = jnp.zeros((t_senders.shape[0],), vals.dtype)
