@@ -29,11 +29,14 @@ def _attention_alphas(edge_logits, self_logits, receivers, num_nodes,
     edge_logits: [E, H]; self_logits: [N, H].
     Returns (alpha_edge [E, H], alpha_self [N, H] or None).
     """
+    from egc_tpu.ops.segment import _segment_max_raw
+
     neg = jnp.asarray(-1e30, edge_logits.dtype)
     masked_logits = edge_logits
     if edge_mask is not None:
         masked_logits = jnp.where(edge_mask[:, None], edge_logits, neg)
-    mx = jax.ops.segment_max(masked_logits, receivers, num_segments=num_nodes)
+    # _segment_max_raw: TPU-safe VJP (packed single gather — see ops.segment)
+    mx = _segment_max_raw(masked_logits, receivers, num_nodes, False)
     mx = jnp.maximum(mx, neg)  # empty segments: -inf -> -1e30
     if include_self:
         mx = jnp.maximum(mx, self_logits)
@@ -110,14 +113,18 @@ def _fused_gat_softmax_sum(g, h, a_src, a_dst, self_logits, n, H, C,
     adst = jnp.pad(a_dst, ((0, 0), (0, 128 - H)))
     o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp,
                           slope=slope)
-    m_e = md[:, :H]
+    # the merged output below is analytically invariant to the running
+    # max m, so m is non-differentiable by design (the kernel VJP drops
+    # the max-tie term) — stop_gradient keeps autodiff consistent
+    m_e = jax.lax.stop_gradient(md[:, :H])
     d_e = md[:, 64:64 + H]
     o = o.reshape(n, cp, H).transpose(0, 2, 1)[:, :, :C]   # [n, H, C]
     has = (plan.deg > 0)[:, None]
     neg = jnp.asarray(-1e30, h.dtype)
     m_e = jnp.where(has, m_e, neg)
     if include_self:
-        m_full = jnp.maximum(m_e, self_logits)
+        # invariant to m_full as well -> constant stabilizer
+        m_full = jax.lax.stop_gradient(jnp.maximum(m_e, self_logits))
         corr = jnp.exp(m_e - m_full)
         p_self = jnp.exp(self_logits - m_full)
         denom = d_e * corr + p_self
@@ -200,14 +207,16 @@ def _fused_gatv2_softmax_sum(g, hl, hr, att, self_logits, n, H, C,
     att_rep = jnp.broadcast_to(att_i, (8, hcp))
     o, md = gatv2_attention(interleave(hl), interleave(hr), att_rep, plan,
                             heads=H, cp=cp, slope=slope)
-    m_e = md[:, :H]
+    # m is non-differentiable by design (see _fused_gat_softmax_sum)
+    m_e = jax.lax.stop_gradient(md[:, :H])
     d_e = md[:, 64:64 + H]
     o = o.reshape(n, cp, H).transpose(0, 2, 1)[:, :, :C]
     has = (plan.deg > 0)[:, None]
     neg = jnp.asarray(-1e30, hl.dtype)
     m_e = jnp.where(has, m_e, neg)
     if include_self:
-        m_full = jnp.maximum(m_e, self_logits)
+        # invariant to m_full as well -> constant stabilizer
+        m_full = jax.lax.stop_gradient(jnp.maximum(m_e, self_logits))
         corr = jnp.exp(m_e - m_full)
         p_self = jnp.exp(self_logits - m_full)
         denom = d_e * corr + p_self

@@ -5,10 +5,11 @@ scatter-softmax (reference ``experiments/arxiv/norm_models.py:77-91``,
 ``experiments/zinc/models.py:81-89``); the XLA fallback path in
 ``egc_tpu.nn.conv.attention`` needs multiple row-at-a-time gathers and
 scatters per edge. This kernel computes the whole per-receiver softmax
-weighted sum in ONE windowed pass using flash-attention-style online
-normalization (running max ``m``, running denominator ``d``, unnormalized
-accumulator ``o``), so each edge costs one window-row read plus two
-accumulator updates.
+weighted sum in TWO windowed passes: a cheap 128-lane max sweep (the EGC
+gather-reduce machinery) that exploits GAT(v1)'s max factorization
+``m_r = leaky(max_s a_src + a_dst[r])``, then a STATIONARY-m attention
+sweep (denominator ``d`` and unnormalized accumulator ``o`` only — no
+online rescaling in the per-edge body).
 
 GAT(v1) structure: the edge logit is ``leaky_relu(a_src[s] + a_dst[r])`` —
 node-level per-head scalars — so the kernel streams packed sender rows
@@ -46,14 +47,25 @@ NEG_BIG = -3.0e38
 
 
 def _fwd_kernel(cell_ptr_ref,
-                src_win, adst_blk, senders_hbm, receivers_hbm,
+                src_win, stat_blk, senders_hbm, receivers_hbm,
                 o_out, md_out,
-                o_acc, md_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
+                o_acc, d_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
                 *,
                 heads: int, cp: int, slope: float,
                 block_rows: int, window_rows: int, chunk: int,
                 s_blocks: int):
-    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+    """STATIONARY-m softmax sweep. GAT(v1)'s logit is monotone in the
+    node-level a_src (leaky_relu is increasing, a_dst[r] constant per
+    receiver), so the per-receiver max factorizes:
+
+        m_r = max_s leaky(a_src[s] + a_dst[r]) = leaky(max_s a_src + a_dst)
+
+    and is PRECOMPUTED with one cheap windowed max pass (the EGC
+    gather-reduce machinery) before this kernel. The per-edge body then
+    needs no running max: no second exp, no correction multiply on the
+    [1, hcp] accumulator, no md concat write — just p = exp(e - m) and two
+    RMWs. ``stat_blk`` [n, 128]: cols [0:64] = a_dst, [64:128] = m."""
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
     i = pl.program_id(0)
@@ -68,9 +80,7 @@ def _fwd_kernel(cell_ptr_ref,
     @pl.when(s == 0)
     def _():
         o_acc[:] = jnp.zeros_like(o_acc)
-        md_acc[:, 0:64] = jnp.full((block_rows, 64), NEG_BIG,
-                                   md_acc.dtype)
-        md_acc[:, 64:128] = jnp.zeros((block_rows, 64), md_acc.dtype)
+        d_acc[:] = jnp.zeros_like(d_acc)
 
     def process_chunk(base, lo, n_e):
         def body(j, _):
@@ -78,38 +88,32 @@ def _fwd_kernel(cell_ptr_ref,
             wh = row[:, :hcp]
             asrc = row[:, hcp:hcp + 64]                    # a_src cols
             r = ridx[base + j] - row0
-            z = asrc + adst_blk[pl.ds(r, 1), 0:64]
+            stat = stat_blk[pl.ds(r, 1), :]
+            z = asrc + stat[:, 0:64]
             e = jnp.where(z >= 0, z, slope * z)            # leaky_relu
-            cur = md_acc[pl.ds(r, 1), :]
-            m_old = cur[:, 0:64]
-            d_old = cur[:, 64:128]
-            m_new = jnp.maximum(m_old, e)
-            corr = jnp.exp(m_old - m_new)
-            p = jnp.exp(e - m_new)
-            d_new = d_old * corr + p
-            md_acc[pl.ds(r, 1), :] = jnp.concatenate([m_new, d_new], axis=1)
+            p = jnp.exp(e - stat[:, 64:128])               # <= 1 by constr.
+            d_acc[pl.ds(r, 1), :] = d_acc[pl.ds(r, 1), :] + p
             # per-head expansion: repeat each head scalar over its Cp lanes
-            corr_e = pltpu.repeat(corr[:, :heads], cp, axis=1)
             p_e = pltpu.repeat(p[:, :heads], cp, axis=1)
-            o_acc[pl.ds(r, 1), :] = (o_acc[pl.ds(r, 1), :] * corr_e
-                                     + p_e * wh)
+            o_acc[pl.ds(r, 1), :] = o_acc[pl.ds(r, 1), :] + p_e * wh
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
 
-    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
                     sem_idx, sem_w, seq_ref,
                     (senders_hbm, receivers_hbm, None), process_chunk)
 
     @pl.when(s == s_blocks - 1)
     def _():
         o_out[:] = o_acc[:]
-        md_out[:] = md_acc[:]
+        # md contract: cols [0:64] = m (the stationary input), [64:128] = d
+        md_out[:] = jnp.concatenate([stat_blk[:, 64:128], d_acc[:]], axis=1)
 
 
 def gat_fwd(
     src_pack: jnp.ndarray,          # [n_pad, H*Cp + 128]
-    adst: jnp.ndarray,              # [n_pad, 128]
+    stat: jnp.ndarray,              # [n_pad, 128]: [a_dst | m] (see kernel)
     plan_senders: jnp.ndarray,
     plan_receivers: jnp.ndarray,
     cell_ptr: jnp.ndarray,
@@ -119,7 +123,11 @@ def gat_fwd(
     slope: float = 0.2,
     chunk: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused pass -> (o [n_pad, H*Cp] unnormalized, md [n_pad, 128])."""
+    """One fused pass -> (o [n_pad, H*Cp] unnormalized, md [n_pad, 128]).
+
+    ``stat`` packs the receiver-stationary fields: cols [0:64] = a_dst,
+    cols [64:128] = the PRECOMPUTED per-receiver max m (NEG_BIG for
+    empty receivers; pad head lanes 0)."""
     n, fp = src_pack.shape
     hcp = heads * cp
     if fp != hcp + 128:
@@ -158,7 +166,7 @@ def gat_fwd(
         ),
         scratch_shapes=[
             pltpu.VMEM((block_rows, hcp), src_pack.dtype),
-            pltpu.VMEM((block_rows, 128), src_pack.dtype),
+            pltpu.VMEM((block_rows, 64), src_pack.dtype),
             pltpu.SMEM((2 * chunk,), jnp.int32),
             pltpu.SMEM((2 * chunk,), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -171,17 +179,24 @@ def gat_fwd(
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((n, hcp), src_pack.dtype),
                    jax.ShapeDtypeStruct((n, 128), src_pack.dtype)),
-    )(cell_ptr, src_pack, adst, plan_senders, plan_receivers)
+    )(cell_ptr, src_pack, stat, plan_senders, plan_receivers)
 
 
 # ---------------------------------------------------------------------------
 # Backward. For o_r = sum_s exp(e_sr - m_r) wh_s, d_r = sum_s exp(e_sr - m_r),
-# m_r = max_s e_sr, with e_sr = leaky_relu(z_sr), z_sr = a_src[s] + a_dst[r]:
+# m_r = max_s e_sr, with e_sr = leaky_relu(z_sr), z_sr = a_src[s] + a_dst[r].
 #
-#   de_sr   = exp(e-m) (q_sr + G2_r) + 1[e_sr = m_r] * G3_r
+# The max m is NON-DIFFERENTIABLE by design (flash-attention convention):
+# every downstream use of (o, d, m) — normalization o/d and the exact
+# online-softmax self-loop merge — is analytically invariant to the value
+# of m, so consumers stop_gradient it (see nn.conv.attention) and the
+# backward treats m as a constant stabilizer. That removes the max-tie
+# indicator term entirely (no 1[e = m] * G3), which both shaves per-edge
+# work and makes the VJP insensitive to tie-detection rounding:
+#
+#   de_sr   = exp(e-m) (q_sr + G2_r)
 #   q_sr    = sum_c g_o[r,h,c] wh[s,h,c]          (per-head dot)
 #   G2_r    = g_d[r]
-#   G3_r    = g_m[r] - sum_c o g_o (per head) - d_r g_d[r]
 #   d_wh[s]   += exp(e-m) g_o[r]                  (head-expanded)
 #   d_asrc[s] += de * lrelu'(z);  d_adst[r] += de * lrelu'(z)
 #
@@ -190,7 +205,7 @@ def gat_fwd(
 # recompute z/e/alpha from the packed node rows (flash-style recompute).
 #
 # coeff_pack [n_pad, H*Cp + 128]: cols [:H*Cp] = g_o (interleaved);
-# trailing 128: [0:32]=a_dst, [32:64]=m, [64:96]=G2, [96:128]=G3 (H <= 32).
+# trailing 128: [0:32]=a_dst, [32:64]=m, [64:96]=G2 (H <= 32).
 # Pad lanes must be packed ZERO (then alpha-hat=1, q=0, de=0: no NaNs).
 
 
@@ -219,13 +234,12 @@ def _edge_grad(row_src, row_cof, heads, hcp, slope):
     adst = fld[:, 0:32]
     m = fld[:, 32:64]
     g2 = fld[:, 64:96]
-    g3 = fld[:, 96:128]
     z = asrc + adst
     e = jnp.where(z >= 0, z, slope * z)
     ah = jnp.exp(e - m)                              # alpha-hat [1, 32]
     q = _head_reduce(g_o * wh, heads, hcp)           # [1, heads]
     q32 = jnp.concatenate([q, jnp.zeros((1, 32 - heads), wh.dtype)], axis=1)
-    de = ah * (q32 + g2) + jnp.where(e >= m, g3, 0.0)
+    de = ah * (q32 + g2)                             # m non-differentiable
     dz = de * jnp.where(z >= 0, 1.0, slope)
     ah_e = pltpu.repeat(ah[:, :heads], hcp // heads, axis=1)
     d_wh = ah_e * g_o
@@ -241,7 +255,7 @@ def _bwd_t_kernel(cell_ptr_ref,
                   heads: int, cp: int, slope: float,
                   block_rows: int, window_rows: int, chunk: int,
                   s_blocks: int):
-    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
     i = pl.program_id(0)
@@ -266,7 +280,7 @@ def _bwd_t_kernel(cell_ptr_ref,
 
         jax.lax.fori_loop(lo, n_e, body, 0)
 
-    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
                     sem_idx, sem_w, seq_ref,
                     (senders_hbm, receivers_hbm, None), process_chunk)
 
@@ -283,7 +297,7 @@ def _bwd_f_kernel(cell_ptr_ref,
                   heads: int, cp: int, slope: float,
                   block_rows: int, window_rows: int, chunk: int,
                   s_blocks: int):
-    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
     i = pl.program_id(0)
@@ -306,7 +320,7 @@ def _bwd_f_kernel(cell_ptr_ref,
 
         jax.lax.fori_loop(lo, n_e, body, 0)
 
-    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
                     sem_idx, sem_w, seq_ref,
                     (senders_hbm, receivers_hbm, None), process_chunk)
 
@@ -375,8 +389,25 @@ def _gat_attention_cached(heads: int, cp: int, slope: float):
     hcp = heads * cp
 
     def impl(src_pack, adst, plan):
+        from egc_tpu.ops.pallas.gather_reduce import windowed_gather_reduce
+
+        # stationary m (see _fwd_kernel): leaky_relu is monotone and a_dst
+        # is receiver-constant, so m_r = leaky(max_s a_src + a_dst) — one
+        # cheap 128-lane windowed max over the EGC-geometry plan
+        p = plan.fwd
+        (smax,) = windowed_gather_reduce(
+            src_pack[:, hcp:], p.senders, p.receivers, p.cell_ptr,
+            r_blocks=p.r_blocks, s_blocks=p.s_blocks,
+            block_rows=p.block_rows, window_rows=p.window_rows,
+            ops=("max",))
+        z = adst[:, 0:64] + smax[:, 0:64]
+        m = jnp.where(z >= 0, z, slope * z)
+        # empty receivers: NEG_BIG (never touched by an edge); pad head
+        # lanes of valid rows stay 0 (smax pad = max of zero packing)
+        m = jnp.where((plan.deg > 0)[:, None], m, NEG_BIG)
+        stat = jnp.concatenate([adst[:, 0:64], m], axis=1)
         f = plan.fwd_attn
-        return gat_fwd(src_pack, adst, f.senders, f.receivers, f.cell_ptr,
+        return gat_fwd(src_pack, stat, f.senders, f.receivers, f.cell_ptr,
                        heads=heads, cp=cp, r_blocks=f.r_blocks,
                        s_blocks=f.s_blocks, block_rows=f.block_rows,
                        window_rows=f.window_rows, slope=slope)
@@ -387,25 +418,18 @@ def _gat_attention_cached(heads: int, cp: int, slope: float):
 
     def f_fwd(src_pack, adst, plan):
         o, md = impl(src_pack, adst, plan)
-        return (o, md), (src_pack, adst, plan, o, md)
+        return (o, md), (src_pack, adst, plan, md)
 
     def f_bwd(residual, cts):
         import numpy as _np
-        src_pack, adst, plan, o, md = residual
+        src_pack, adst, plan, md = residual
         g_o, g_md = cts
         m = md[:, 0:32]
-        d = md[:, 64:96]
-        g_m = g_md[:, 0:32]
-        g_d = g_md[:, 64:96]
-        # G3 = g_m - sum_c o*g_o (per head) - d*g_d   [n, 32]
-        og = o * g_o
-        n = o.shape[0]
-        og_h = jnp.sum(og.reshape(n, cp, heads), axis=1)     # [n, heads]
-        pad32 = jnp.zeros((n, 32 - heads), o.dtype)
-        g3 = g_m - jnp.concatenate([og_h, pad32], axis=1) - d * g_d
+        g_d = g_md[:, 64:96]        # m is non-differentiable (module note)
+        n = md.shape[0]
         coeff = jnp.concatenate([
             g_o,
-            adst[:, 0:32], m, g_d, g3,
+            adst[:, 0:32], m, g_d, jnp.zeros((n, 32), md.dtype),
         ], axis=1)                                           # [n, hcp+128]
         d_src = _edge_pass(_bwd_t_kernel, coeff, src_pack, plan.bwd_attn,
                            hcp + 128, heads=heads, cp=cp, slope=slope)
@@ -438,12 +462,13 @@ def _gat_attention_cached(heads: int, cp: int, slope: float):
 # head-interleaved like GAT; ``att`` rides along as a row-replicated [8,
 # H*Cp] VMEM input.
 #
-# Backward (same flash-recompute scheme as GAT):
-#   de = alpha-hat (q + G2) + 1[e = m] G3,  q = head_fold(g_o . whl)
+# Backward (same flash-recompute scheme as GAT; m non-differentiable,
+# so no max-tie term — see the GAT backward note above):
+#   de = alpha-hat (q + G2),  q = head_fold(g_o . whl)
 #   d_whl[s] += alpha-hat g_o + de . att . lrelu'(z)
 #   d_whr[r] += de . att . lrelu'(z)
 #   d_att    += de . lrelu(z)   (accumulated per-receiver, reduced in XLA)
-# coeff_pack [n, 2*H*Cp + 128]: [g_o | whr | fields(m, G2, G3)].
+# coeff_pack [n, 2*H*Cp + 128]: [g_o | whr | fields(m, G2)].
 
 
 def _v2_logit(wl, wr, attv, heads, hcp, slope):
@@ -463,7 +488,7 @@ def _v2_fwd_kernel(cell_ptr_ref,
                    heads: int, cp: int, slope: float,
                    block_rows: int, window_rows: int, chunk: int,
                    s_blocks: int):
-    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
     i = pl.program_id(0)
@@ -501,7 +526,7 @@ def _v2_fwd_kernel(cell_ptr_ref,
 
         jax.lax.fori_loop(lo, n_e, body, 0)
 
-    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
                     sem_idx, sem_w, seq_ref,
                     (senders_hbm, receivers_hbm, None), process_chunk)
 
@@ -518,12 +543,11 @@ def _v2_edge_grad(wl, row_cof, attv, heads, hcp, slope):
     fld = row_cof[:, 2 * hcp:2 * hcp + 128]
     m = fld[:, 0:32]
     g2 = fld[:, 32:64]
-    g3 = fld[:, 64:96]
     z, lr, e32 = _v2_logit(wl, wr, attv, heads, hcp, slope)
     ah = jnp.exp(e32 - m)
     q = _head_reduce(g_o * wl, heads, hcp)
     q32 = jnp.concatenate([q, jnp.zeros((1, 32 - heads), wl.dtype)], axis=1)
-    de = ah * (q32 + g2) + jnp.where(e32 >= m, g3, 0.0)
+    de = ah * (q32 + g2)                             # m non-differentiable
     de_e = pltpu.repeat(de[:, :heads], cp, axis=1)
     ah_e = pltpu.repeat(ah[:, :heads], cp, axis=1)
     lrp = jnp.where(z >= 0, 1.0, slope)
@@ -541,7 +565,7 @@ def _v2_bwd_t_kernel(cell_ptr_ref,
                      heads: int, cp: int, slope: float,
                      block_rows: int, window_rows: int, chunk: int,
                      s_blocks: int):
-    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
     i = pl.program_id(0)
@@ -566,7 +590,7 @@ def _v2_bwd_t_kernel(cell_ptr_ref,
 
         jax.lax.fori_loop(lo, n_e, body, 0)
 
-    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
                     sem_idx, sem_w, seq_ref,
                     (senders_hbm, receivers_hbm, None), process_chunk)
 
@@ -583,7 +607,7 @@ def _v2_bwd_f_kernel(cell_ptr_ref,
                      heads: int, cp: int, slope: float,
                      block_rows: int, window_rows: int, chunk: int,
                      s_blocks: int):
-    from egc_tpu.ops.pallas.gather_reduce import _chunk_pipeline
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
     i = pl.program_id(0)
@@ -609,7 +633,7 @@ def _v2_bwd_f_kernel(cell_ptr_ref,
 
         jax.lax.fori_loop(lo, n_e, body, 0)
 
-    _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
                     sem_idx, sem_w, seq_ref,
                     (senders_hbm, receivers_hbm, None), process_chunk)
 
@@ -728,22 +752,17 @@ def _gatv2_attention_cached(heads: int, cp: int, slope: float):
 
     def f_fwd(whl, whr, att_rep, plan):
         o, md = impl(whl, whr, att_rep, plan)
-        return (o, md), (whl, whr, att_rep, plan, o, md)
+        return (o, md), (whl, whr, att_rep, plan, md)
 
     def f_bwd(residual, cts):
         import numpy as _np
-        whl, whr, att_rep, plan, o, md = residual
+        whl, whr, att_rep, plan, md = residual
         g_o, g_md = cts
-        n = o.shape[0]
+        n = md.shape[0]
         m = md[:, 0:32]
-        d = md[:, 64:96]
-        g_m = g_md[:, 0:32]
-        g_d = g_md[:, 64:96]
-        og_h = jnp.sum((o * g_o).reshape(n, cp, heads), axis=1)
-        pad32 = jnp.zeros((n, 32 - heads), o.dtype)
-        g3 = g_m - jnp.concatenate([og_h, pad32], axis=1) - d * g_d
+        g_d = g_md[:, 64:96]        # m is non-differentiable (module note)
         fields = jnp.concatenate(
-            [m, g_d, g3, jnp.zeros((n, 32), o.dtype)], axis=1)
+            [m, g_d, jnp.zeros((n, 64), md.dtype)], axis=1)
         coeff = jnp.concatenate([g_o, whr, fields], axis=1)
         d_whl = _v2_edge_pass(_v2_bwd_t_kernel, coeff, whl, att_rep,
                               plan.bwd_attn, hcp, heads=heads, cp=cp,

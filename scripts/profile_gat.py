@@ -1,8 +1,16 @@
-"""Isolate the fused GAT passes at arxiv scale.
+"""Fused GAT attention pass matrix at arxiv scale: geometry x DMA scheme.
 
-Run: env PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile_gat.py
+Measures the PRODUCTION gat_fwd kernel (and optionally the full
+fwd+bwd primitive) across attention plan geometries
+(EGC_TPU_ATTN_GEOM) and chunk-DMA schemes (EGC_TPU_ATTN_BLOCKING) to
+pick the shipping configuration. Every row is a fresh plan + jit.
+
+Run: env PYTHONPATH=/root/repo:/root/.axon_site python -u \
+    scripts/profile_gat.py [full]
 """
 
+import os
+import sys
 import time
 
 import numpy as np
@@ -10,8 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from egc_tpu.data import synthetic
-from egc_tpu.exp.fullgraph import full_graph_to_device_dict
+from egc_tpu.ops.dispatch import build_kernel_plan
 from egc_tpu.ops.pallas.attention import gat_fwd, gat_attention
+
+H, CP = 8, 32
+HCP = H * CP
 
 
 def timeit(fn, *args, steps=10):
@@ -28,45 +39,55 @@ def main():
     raw = synthetic.synthetic_full_graph(
         num_nodes=169_343, avg_degree=14, num_classes=40, num_features=128,
         seed=0)
-    d = full_graph_to_device_dict(raw)
-    plan = d["graph"].kernel_plan
-    n = plan.n_pad
-    e = len(raw["senders"])
-    H, cp = 8, 32
-    hcp = H * cp
+    senders = np.asarray(raw["senders"])
+    receivers = np.asarray(raw["receivers"])
+    nn_ = 169_343
+    e = len(senders)
     rng = np.random.default_rng(0)
-    src_pack = jnp.asarray(rng.normal(size=(n, hcp + 128))
-                           .astype(np.float32))
-    adst = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
 
-    fa = plan.fwd_attn
-    print(f"# fwd_attn R={fa.r_blocks} S={fa.s_blocks}; "
-          f"bwd_attn R={plan.bwd_attn.r_blocks} S={plan.bwd_attn.s_blocks}",
-          flush=True)
+    full_mode = "full" in sys.argv[1:]
+    configs = [
+        ("pipe", "2048x1024,1024x1024"),     # shipping config (round 2)
+        ("blk", "2048x1024,1024x1024"),
+        ("blk", "1024x1024"),
+        ("pipe", "1024x1024"),
+        ("blk", "1024x2048"),
+        ("blk", "2048x512"),
+        ("blk", "512x2048"),
+    ]
+    for mode, geom in configs:
+        os.environ["EGC_TPU_ATTN_BLOCKING"] = "1" if mode == "blk" else "0"
+        os.environ["EGC_TPU_ATTN_GEOM"] = geom
+        try:
+            plan = build_kernel_plan(senders, receivers, nn_)
+            n = plan.n_pad
+            src_pack = jnp.asarray(
+                rng.normal(size=(n, HCP + 128)).astype(np.float32))
+            adst = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
 
-    @jax.jit
-    def fwd(src_pack, adst):
-        return gat_fwd(src_pack, adst, fa.senders, fa.receivers, fa.cell_ptr,
-                       heads=H, cp=cp, r_blocks=fa.r_blocks,
-                       s_blocks=fa.s_blocks, block_rows=fa.block_rows,
-                       window_rows=fa.window_rows)
+            @jax.jit
+            def fwd(sp, ad, plan=plan):
+                # production fwd: stationary-m max pass + attention sweep
+                return gat_attention(sp, ad, plan, heads=H, cp=CP)
 
-    t = timeit(fwd, src_pack, adst)
-    print(f"gat_fwd pass: {t*1e3:.1f} ms ({t/e*0.94e9:.1f} cy/edge)",
-          flush=True)
+            t = timeit(fwd, src_pack, adst)
+            line = (f"{mode:4s} {geom:22s} fwd {t*1e3:7.1f} ms "
+                    f"({t/e*0.94e9:6.1f} cy/edge)")
+            if full_mode:
+                @jax.jit
+                def fb(sp, ad, plan=plan):
+                    def loss(sp, ad):
+                        o, md = gat_attention(sp, ad, plan, heads=H, cp=CP)
+                        return jnp.sum(o) + jnp.sum(md[:, 64:96])
+                    return jax.grad(loss, argnums=(0, 1))(sp, ad)[0]
 
-    @jax.jit
-    def full(src_pack, adst):
-        def loss(sp, ad):
-            o, md = gat_attention(sp, ad, plan, heads=H, cp=cp)
-            return jnp.sum(o) + jnp.sum(md[:, 64:96])
-        v, g = jax.value_and_grad(loss, argnums=(0, 1))(src_pack, adst)
-        return g[0]
-
-    t2 = timeit(full, src_pack, adst)
-    print(f"fwd+bwd(2 passes): {t2*1e3:.1f} ms; bwd alone ~"
-          f"{(t2-t)*1e3:.1f} ms ({(t2-t)/e*0.94e9/2:.1f} cy/edge/pass)",
-          flush=True)
+                t2 = timeit(fb, src_pack, adst)
+                line += (f" | fwd+bwd {t2*1e3:7.1f} ms "
+                         f"(bwd ~{(t2-t)/e*0.94e9/2:6.1f} cy/edge/pass)")
+            print(line, flush=True)
+        except Exception as ex:  # noqa
+            print(f"{mode:4s} {geom:22s} FAILED {type(ex).__name__}: "
+                  f"{str(ex)[:120]}", flush=True)
 
 
 if __name__ == "__main__":

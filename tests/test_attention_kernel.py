@@ -12,6 +12,8 @@ from egc_tpu.ops.dispatch import build_kernel_plan
 
 @pytest.fixture(autouse=True)
 def interpret_pallas(monkeypatch):
+    import egc_tpu.ops.pallas.gather_reduce as gr
+
     orig = pl.pallas_call
 
     def patched(*a, **k):
@@ -19,6 +21,8 @@ def interpret_pallas(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(attn.pl, "pallas_call", patched)
+    # gat_attention's stationary-m max pass rides the gather-reduce kernels
+    monkeypatch.setattr(gr.pl, "pallas_call", patched)
 
 
 def test_gat_fwd_matches_xla_softmax_sum():
@@ -46,11 +50,21 @@ def test_gat_fwd_matches_xla_softmax_sum():
         for c in range(C):
             src_pack[:n, c * H + h] = wh[:, h, c]
     src_pack[:n, H * cp:H * cp + H] = a_src
-    adst = np.zeros((npad, 128), np.float32)
-    adst[:n, :H] = a_dst
+
+    # numpy reference max (the kernel takes the stationary m as input)
+    z = a_src[senders] + a_dst[receivers]                  # [E, H]
+    logit = np.where(z >= 0, z, 0.2 * z)
+    m_ref = np.full((n, H), -np.inf)
+    np.maximum.at(m_ref, receivers, logit)
+    has = np.isfinite(m_ref)
+
+    stat = np.zeros((npad, 128), np.float32)
+    stat[:n, :H] = a_dst
+    stat[:npad, 64:128] = 0.0
+    stat[:n, 64:64 + H] = np.where(has, m_ref, attn.NEG_BIG)
 
     o, md = attn.gat_fwd(
-        jnp.asarray(src_pack), jnp.asarray(adst),
+        jnp.asarray(src_pack), jnp.asarray(stat),
         plan.fwd.senders, plan.fwd.receivers, plan.fwd.cell_ptr,
         heads=H, cp=cp,
         r_blocks=plan.fwd.r_blocks, s_blocks=plan.fwd.s_blocks,
@@ -60,12 +74,7 @@ def test_gat_fwd_matches_xla_softmax_sum():
     d = np.asarray(md)[:n, 64:64 + H]
 
     # XLA reference: per-receiver softmax-weighted sum (no self term)
-    z = a_src[senders] + a_dst[receivers]                  # [E, H]
-    logit = np.where(z >= 0, z, 0.2 * z)
     ref = np.zeros((n, H, C))
-    m_ref = np.full((n, H), -np.inf)
-    np.maximum.at(m_ref, receivers, logit)
-    has = np.isfinite(m_ref)
     p = np.exp(logit - np.where(has, m_ref, 0.0)[receivers])
     d_ref = np.zeros((n, H))
     np.add.at(d_ref, receivers, p)
