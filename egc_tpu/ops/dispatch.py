@@ -15,9 +15,14 @@ only the edge-level primitive map.
 Tie semantics of the max/min VJP: the full cotangent is routed to EVERY
 edge achieving the extremum — and since round 2 the XLA path's
 ``_segment_max_raw`` uses the same convention (its TPU-safe packed-gather
-backward), so the two paths agree even on ties. Duplicate-edge
-multigraphs would double-count either way; all supported datasets are
-coalesced.
+backward), so the two paths agree even on ties. Known deviation from the
+reference: torch_scatter's ``scatter_max`` backward routes the cotangent
+to ONE argmax winner, which matters when a segment holds exactly-equal
+values (e.g. same-type atom embeddings before the first nonlinearity) —
+there our convention sums the cotangent once per achieving edge. All
+paths agree whenever the achieving value is unique; duplicate-edge
+multigraphs would double-count either way (supported datasets are
+coalesced).
 """
 
 from __future__ import annotations

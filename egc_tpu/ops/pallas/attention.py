@@ -48,8 +48,8 @@ NEG_BIG = -3.0e38
 
 def _fwd_kernel(cell_ptr_ref,
                 src_win, stat_blk, senders_hbm, receivers_hbm,
-                o_out, md_out,
-                o_acc, d_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
+                o_out,
+                o_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
                 *,
                 heads: int, cp: int, slope: float,
                 block_rows: int, window_rows: int, chunk: int,
@@ -62,9 +62,12 @@ def _fwd_kernel(cell_ptr_ref,
 
     and is PRECOMPUTED with one cheap windowed max pass (the EGC
     gather-reduce machinery) before this kernel. The per-edge body then
-    needs no running max: no second exp, no correction multiply on the
-    [1, hcp] accumulator, no md concat write — just p = exp(e - m) and two
-    RMWs. ``stat_blk`` [n, 128]: cols [0:64] = a_dst, [64:128] = m."""
+    needs no running max and no separate denominator accumulator: the
+    caller packs a CONSTANT-1 channel into ``wh`` (a zero pad channel —
+    ``cp > C`` is required), so the single ``o += p_e * wh`` RMW
+    accumulates the softmax denominator in that channel for free. Body =
+    2 dynamic reads + 1 RMW + one exp. ``stat_blk`` [n, 128]:
+    cols [0:64] = a_dst, [64:128] = m."""
     from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
@@ -80,7 +83,6 @@ def _fwd_kernel(cell_ptr_ref,
     @pl.when(s == 0)
     def _():
         o_acc[:] = jnp.zeros_like(o_acc)
-        d_acc[:] = jnp.zeros_like(d_acc)
 
     def process_chunk(base, lo, n_e):
         def body(j, _):
@@ -92,7 +94,6 @@ def _fwd_kernel(cell_ptr_ref,
             z = asrc + stat[:, 0:64]
             e = jnp.where(z >= 0, z, slope * z)            # leaky_relu
             p = jnp.exp(e - stat[:, 64:128])               # <= 1 by constr.
-            d_acc[pl.ds(r, 1), :] = d_acc[pl.ds(r, 1), :] + p
             # per-head expansion: repeat each head scalar over its Cp lanes
             p_e = pltpu.repeat(p[:, :heads], cp, axis=1)
             o_acc[pl.ds(r, 1), :] = o_acc[pl.ds(r, 1), :] + p_e * wh
@@ -107,8 +108,6 @@ def _fwd_kernel(cell_ptr_ref,
     @pl.when(s == s_blocks - 1)
     def _():
         o_out[:] = o_acc[:]
-        # md contract: cols [0:64] = m (the stationary input), [64:128] = d
-        md_out[:] = jnp.concatenate([stat_blk[:, 64:128], d_acc[:]], axis=1)
 
 
 def gat_fwd(
@@ -122,8 +121,9 @@ def gat_fwd(
     r_blocks: int, s_blocks: int, block_rows: int, window_rows: int,
     slope: float = 0.2,
     chunk: int = 1024,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """One fused pass -> (o [n_pad, H*Cp] unnormalized, md [n_pad, 128]).
+) -> jnp.ndarray:
+    """One fused pass -> o [n_pad, H*Cp] (unnormalized weighted sums; the
+    denominator rides in whatever channel the caller packed as ones).
 
     ``stat`` packs the receiver-stationary fields: cols [0:64] = a_dst,
     cols [64:128] = the PRECOMPUTED per-receiver max m (NEG_BIG for
@@ -158,15 +158,10 @@ def gat_fwd(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec((block_rows, hcp), lambda i, s, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, 128), lambda i, s, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=pl.BlockSpec((block_rows, hcp), lambda i, s, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((block_rows, hcp), src_pack.dtype),
-            pltpu.VMEM((block_rows, 64), src_pack.dtype),
             pltpu.SMEM((2 * chunk,), jnp.int32),
             pltpu.SMEM((2 * chunk,), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -177,8 +172,7 @@ def gat_fwd(
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=(jax.ShapeDtypeStruct((n, hcp), src_pack.dtype),
-                   jax.ShapeDtypeStruct((n, 128), src_pack.dtype)),
+        out_shape=jax.ShapeDtypeStruct((n, hcp), src_pack.dtype),
     )(cell_ptr, src_pack, stat, plan_senders, plan_receivers)
 
 
@@ -374,19 +368,32 @@ def _edge_pass(kernel_fn, win_arr, blk_arr, plan_dev, out_width, *,
 
 
 def gat_attention(src_pack, adst, plan, *, heads: int, cp: int,
-                  slope: float = 0.2):
+                  dchan: int, slope: float = 0.2):
     """Differentiable fused GAT edge-softmax primitive.
 
-    Returns (o, md) as in ``gat_fwd``; the custom VJP runs the two
-    backward passes above. ``plan`` is a GraphKernelPlan (fwd + bwd
-    transpose layouts).
+    ``dchan``: the per-head channel index the caller packed as CONSTANT 1
+    in ``src_pack``'s interleaved values (a zero pad channel, so
+    ``C <= dchan < cp``). The kernel's single RMW then accumulates the
+    softmax denominator there; this wrapper returns it as
+    ``md[:, 64:64+heads]`` alongside the stationary max (``md[:, :heads]``)
+    — same (o, md) contract as before.
+
+    The custom VJP runs the two backward passes above; the denominator
+    cotangent merges into ``g_o``'s dchan columns, where the backward's
+    per-head fold ``q = sum_c g_o*wh`` picks it up via the ones channel —
+    no G2 side-channel needed.
     """
-    return _gat_attention_cached(heads, cp, slope)(src_pack, adst, plan)
+    if not (0 < dchan < cp):
+        raise ValueError(f"dchan {dchan} must lie in a pad channel < cp "
+                         f"{cp}")
+    return _gat_attention_cached(heads, cp, dchan, slope)(src_pack, adst,
+                                                          plan)
 
 
 @functools.lru_cache(maxsize=None)
-def _gat_attention_cached(heads: int, cp: int, slope: float):
+def _gat_attention_cached(heads: int, cp: int, dchan: int, slope: float):
     hcp = heads * cp
+    dlo, dhi = dchan * heads, (dchan + 1) * heads
 
     def impl(src_pack, adst, plan):
         from egc_tpu.ops.pallas.gather_reduce import windowed_gather_reduce
@@ -407,10 +414,14 @@ def _gat_attention_cached(heads: int, cp: int, slope: float):
         m = jnp.where((plan.deg > 0)[:, None], m, NEG_BIG)
         stat = jnp.concatenate([adst[:, 0:64], m], axis=1)
         f = plan.fwd_attn
-        return gat_fwd(src_pack, stat, f.senders, f.receivers, f.cell_ptr,
-                       heads=heads, cp=cp, r_blocks=f.r_blocks,
-                       s_blocks=f.s_blocks, block_rows=f.block_rows,
-                       window_rows=f.window_rows, slope=slope)
+        o = gat_fwd(src_pack, stat, f.senders, f.receivers, f.cell_ptr,
+                    heads=heads, cp=cp, r_blocks=f.r_blocks,
+                    s_blocks=f.s_blocks, block_rows=f.block_rows,
+                    window_rows=f.window_rows, slope=slope)
+        d = o[:, dlo:dhi]                       # the ones-channel sums
+        md = jnp.concatenate(
+            [m, jnp.pad(d, ((0, 0), (0, 64 - heads)))], axis=1)
+        return o, md
 
     @jax.custom_vjp
     def f(src_pack, adst, plan):
@@ -425,11 +436,14 @@ def _gat_attention_cached(heads: int, cp: int, slope: float):
         src_pack, adst, plan, md = residual
         g_o, g_md = cts
         m = md[:, 0:32]
-        g_d = g_md[:, 64:96]        # m is non-differentiable (module note)
+        g_d = g_md[:, 64:64 + heads]  # m is non-differentiable (mod. note)
         n = md.shape[0]
+        # fold the denominator cotangent into the ones channel: the bwd
+        # q-fold (sum_c g_o * wh) then carries the old G2 term exactly
+        g_o = g_o.at[:, dlo:dhi].add(g_d)
         coeff = jnp.concatenate([
             g_o,
-            adst[:, 0:32], m, g_d, jnp.zeros((n, 32), md.dtype),
+            adst[:, 0:32], m, jnp.zeros((n, 64), md.dtype),
         ], axis=1)                                           # [n, hcp+128]
         d_src = _edge_pass(_bwd_t_kernel, coeff, src_pack, plan.bwd_attn,
                            hcp + 128, heads=heads, cp=cp, slope=slope)

@@ -46,7 +46,10 @@ def main():
     rng = np.random.default_rng(0)
 
     full_mode = "full" in sys.argv[1:]
+    top = [int(a[4:]) for a in sys.argv[1:] if a.startswith("top=")]
     configs = [
+        ("pipe", "1024x4096,1024x1024"),     # tall windows: 4x fewer cells
+        ("pipe", "2048x2048,1024x1024"),     # 2x fewer cells
         ("pipe", "2048x1024,1024x1024"),     # shipping config (round 2)
         ("blk", "2048x1024,1024x1024"),
         ("blk", "1024x1024"),
@@ -55,6 +58,8 @@ def main():
         ("blk", "2048x512"),
         ("blk", "512x2048"),
     ]
+    if top:
+        configs = configs[:top[0]]
     for mode, geom in configs:
         os.environ["EGC_TPU_ATTN_BLOCKING"] = "1" if mode == "blk" else "0"
         os.environ["EGC_TPU_ATTN_GEOM"] = geom

@@ -44,11 +44,13 @@ def test_gat_fwd_matches_xla_softmax_sum():
     a_src = rng.normal(size=(n, H)).astype(np.float32)
     a_dst = rng.normal(size=(n, H)).astype(np.float32)
 
-    # pack: head-interleaved wh (col c*H+h) + a_src in trailing 128 cols
+    # pack: head-interleaved wh (col c*H+h) + a_src in trailing 128 cols;
+    # channel C is the CONSTANT-1 denominator channel (see gat_attention)
     src_pack = np.zeros((npad, H * cp + 128), np.float32)
     for h in range(H):
         for c in range(C):
             src_pack[:n, c * H + h] = wh[:, h, c]
+        src_pack[:, C * H + h] = 1.0
     src_pack[:n, H * cp:H * cp + H] = a_src
 
     # numpy reference max (the kernel takes the stationary m as input)
@@ -63,15 +65,14 @@ def test_gat_fwd_matches_xla_softmax_sum():
     stat[:npad, 64:128] = 0.0
     stat[:n, 64:64 + H] = np.where(has, m_ref, attn.NEG_BIG)
 
-    o, md = attn.gat_fwd(
+    o = attn.gat_fwd(
         jnp.asarray(src_pack), jnp.asarray(stat),
         plan.fwd.senders, plan.fwd.receivers, plan.fwd.cell_ptr,
         heads=H, cp=cp,
         r_blocks=plan.fwd.r_blocks, s_blocks=plan.fwd.s_blocks,
         block_rows=plan.fwd.block_rows, window_rows=plan.fwd.window_rows)
     o = np.asarray(o)[:n]
-    m = np.asarray(md)[:n, :H]
-    d = np.asarray(md)[:n, 64:64 + H]
+    d = o[:, C * H:(C + 1) * H]           # ones-channel denominator
 
     # XLA reference: per-receiver softmax-weighted sum (no self term)
     ref = np.zeros((n, H, C))
@@ -91,7 +92,7 @@ def test_gat_fwd_matches_xla_softmax_sum():
     mask = has
     np.testing.assert_allclose(norm_got[mask], norm_ref[mask],
                                rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(m[mask], m_ref[mask], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(d[mask], d_ref[mask], rtol=1e-5, atol=1e-6)
 
 
 def _mini_plan(senders, receivers, n):
@@ -153,12 +154,15 @@ def test_gat_attention_value_and_grad_parity():
     sj, rj = jnp.asarray(senders), jnp.asarray(receivers)
 
     def fused_loss(wh, a_src, a_dst):
-        wh_int = jnp.pad(wh.transpose(0, 2, 1),
-                         ((0, 0), (0, cp - C), (0, 0))).reshape(npad, hcp)
+        wh_int = jnp.concatenate(
+            [wh.transpose(0, 2, 1), jnp.ones((npad, 1, H), wh.dtype),
+             jnp.zeros((npad, cp - C - 1, H), wh.dtype)],
+            axis=1).reshape(npad, hcp)
         src_pack = jnp.concatenate(
             [wh_int, jnp.pad(a_src, ((0, 0), (0, 128 - H)))], axis=1)
         adst = jnp.pad(a_dst, ((0, 0), (0, 128 - H)))
-        o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp)
+        o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp,
+                              dchan=C)
         d_e = md[:, 64:64 + H]
         o = o.reshape(npad, cp, H).transpose(0, 2, 1)[:, :, :C]
         has = jnp.asarray(deg_pos)[:, None, None]
