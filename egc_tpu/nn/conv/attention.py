@@ -107,12 +107,13 @@ def _fused_gat_softmax_sum(g, h, a_src, a_dst, self_logits, n, H, C,
     hcp = H * cp
     # head-interleaved packing: col c*H + h_i. Channel C (the first pad
     # channel — the fused gate guarantees cp > C) is packed as CONSTANT 1:
-    # the kernel's single RMW accumulates the softmax denominator there
+    # the kernel's single RMW accumulates the softmax denominator there.
+    # a_src rides pre-expanded to the same layout (tile = col c*H+h ->
+    # a_src[h]) so the kernel body needs no lane shuffles.
     wh_int = jnp.concatenate(
         [h.transpose(0, 2, 1), jnp.ones((n, 1, H), h.dtype),
          jnp.zeros((n, cp - C - 1, H), h.dtype)], axis=1).reshape(n, hcp)
-    src_pack = jnp.concatenate(
-        [wh_int, jnp.pad(a_src, ((0, 0), (0, 128 - H)))], axis=1)
+    src_pack = jnp.concatenate([wh_int, jnp.tile(a_src, (1, cp))], axis=1)
     adst = jnp.pad(a_dst, ((0, 0), (0, 128 - H)))
     o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp, dchan=C,
                           slope=slope)

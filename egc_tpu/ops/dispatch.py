@@ -86,7 +86,12 @@ def _attn_geometry():
     import os
     env = os.environ.get("EGC_TPU_ATTN_GEOM")
     if not env:
-        return (2048, 1024), (1024, 1024)
+        # fwd block 1024: the expanded-layout fwd streams 512-lane rows
+        # and keeps a 512-lane stationary block — 2048-row blocks exceed
+        # the 16 MB VMEM scoped limit by 2 MB. bwd windows 512: the
+        # transpose pass streams 768-lane coeff rows. Cell count is
+        # irrelevant (the sweep is per-edge-bound, profile_gat matrix).
+        return (1024, 1024), (1024, 512)
     parts = env.split(",")
 
     def parse(p):

@@ -13,20 +13,26 @@ online rescaling in the per-edge body).
 
 GAT(v1) structure: the edge logit is ``leaky_relu(a_src[s] + a_dst[r])`` —
 node-level per-head scalars — so the kernel streams packed sender rows
-``[Wh | a_src]`` and keeps the receiver block's ``a_dst`` stationary.
-(GATv2 needs a per-edge D-dimensional dot inside the nonlinearity and
-stays on the XLA path for now.)
+and keeps the receiver block's fields stationary.
 
-Packing/layout (H = heads, Cp = per-head channel count padded so that
-H*Cp is a lane multiple). Head-INTERLEAVED columns: value col ``c*H + h``
-holds Wh[h, c] — so the per-edge head expansion of the [H] softmax
-scalars is a plain lane-tile (``pltpu.repeat`` tiles the whole pattern,
-which matches this layout exactly).
-- ``src_pack``  [n_pad, H*Cp + 128]: cols [:H*Cp] = interleaved Wh;
-  last 128 cols: [0:H] = a_src (rest zero).
-- ``adst``      [n_pad, 128]: cols [0:H] = a_dst.
-- outputs: ``o`` [n_pad, H*Cp] (unnormalized), ``md`` [n_pad, 128]
-  (cols [0:64] running max, cols [64:128] running denominator; H <= 64).
+FULL-LANE LAYOUT (the round-2 design rule): hardware probes measured
+~24 cy/edge for every sub-128-lane vector op and ~70 cy/edge for every
+``pltpu.repeat`` lane-tile inside the per-edge loop, vs ~2 cy for a full
+[1, H*Cp] op — so ALL per-head scalars are pre-expanded (node-level, in
+XLA, once) to the head-interleaved value layout (col ``c*H + h``), and
+both the forward body and the backward recompute are pure full-lane
+elementwise chains. H = heads; Cp = per-head channel count padded so
+H*Cp is a lane multiple AND > C (one zero pad channel is packed as
+CONSTANT 1 — the softmax denominator accumulates there inside the single
+``o += p * wh`` RMW, and its cotangent folds back through the same
+channel).
+- ``src_pack``  [n_pad, 2*H*Cp]: [interleaved Wh (+ ones channel) |
+  a_src tiled to the same layout].
+- ``stat``      [n_pad, 2*H*Cp]: [a_dst tiled | m tiled] (m = the
+  precomputed stationary per-receiver max).
+- outputs: ``o`` [n_pad, H*Cp] (unnormalized; denominator in the ones
+  channel); the ``gat_attention`` wrapper re-exposes the old
+  ``md`` [n_pad, 128] contract ([0:64] max, [64:128] denominator).
 
 Self-loop and empty-receiver handling, normalization, and the final
 ``o / d`` happen in XLA on node-level arrays (exact online-softmax
@@ -54,20 +60,24 @@ def _fwd_kernel(cell_ptr_ref,
                 heads: int, cp: int, slope: float,
                 block_rows: int, window_rows: int, chunk: int,
                 s_blocks: int):
-    """STATIONARY-m softmax sweep. GAT(v1)'s logit is monotone in the
-    node-level a_src (leaky_relu is increasing, a_dst[r] constant per
-    receiver), so the per-receiver max factorizes:
+    """STATIONARY-m, FULL-LANE softmax sweep. GAT(v1)'s logit is monotone
+    in the node-level a_src (leaky_relu is increasing, a_dst[r] constant
+    per receiver), so the per-receiver max factorizes:
 
         m_r = max_s leaky(a_src[s] + a_dst[r]) = leaky(max_s a_src + a_dst)
 
     and is PRECOMPUTED with one cheap windowed max pass (the EGC
-    gather-reduce machinery) before this kernel. The per-edge body then
-    needs no running max and no separate denominator accumulator: the
-    caller packs a CONSTANT-1 channel into ``wh`` (a zero pad channel —
-    ``cp > C`` is required), so the single ``o += p_e * wh`` RMW
-    accumulates the softmax denominator in that channel for free. Body =
-    2 dynamic reads + 1 RMW + one exp. ``stat_blk`` [n, 128]:
-    cols [0:64] = a_dst, [64:128] = m."""
+    gather-reduce machinery) before this kernel.
+
+    All per-head scalars arrive PRE-EXPANDED to the interleaved value
+    layout (col c*H + h), so the body has NO lane shuffles (pltpu.repeat
+    of a [1, heads] slice measured ~+25 cy/edge) and NO sub-128-lane
+    arithmetic — every op is a full [1, hcp] vector op:
+    - ``src_win``  [n, 2*hcp]: [wh | a_src expanded]
+    - ``stat_blk`` [n, 2*hcp]: [a_dst expanded | m expanded]
+    The denominator rides a CONSTANT-1 value channel of ``wh``
+    (``cp > C`` required), so the body is: 2 dynamic reads, z = add,
+    leaky, one exp, one fma-RMW."""
     from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
@@ -86,17 +96,15 @@ def _fwd_kernel(cell_ptr_ref,
 
     def process_chunk(base, lo, n_e):
         def body(j, _):
-            row = src_win[pl.ds(sidx[base + j] - col0, 1), :]  # [1, hcp+128]
+            row = src_win[pl.ds(sidx[base + j] - col0, 1), :]  # [1, 2*hcp]
             wh = row[:, :hcp]
-            asrc = row[:, hcp:hcp + 64]                    # a_src cols
+            asrc_e = row[:, hcp:]
             r = ridx[base + j] - row0
             stat = stat_blk[pl.ds(r, 1), :]
-            z = asrc + stat[:, 0:64]
+            z = asrc_e + stat[:, :hcp]
             e = jnp.where(z >= 0, z, slope * z)            # leaky_relu
-            p = jnp.exp(e - stat[:, 64:128])               # <= 1 by constr.
-            # per-head expansion: repeat each head scalar over its Cp lanes
-            p_e = pltpu.repeat(p[:, :heads], cp, axis=1)
-            o_acc[pl.ds(r, 1), :] = o_acc[pl.ds(r, 1), :] + p_e * wh
+            p = jnp.exp(e - stat[:, hcp:])                 # <= 1 by constr.
+            o_acc[pl.ds(r, 1), :] = o_acc[pl.ds(r, 1), :] + p * wh
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
@@ -125,13 +133,16 @@ def gat_fwd(
     """One fused pass -> o [n_pad, H*Cp] (unnormalized weighted sums; the
     denominator rides in whatever channel the caller packed as ones).
 
-    ``stat`` packs the receiver-stationary fields: cols [0:64] = a_dst,
-    cols [64:128] = the PRECOMPUTED per-receiver max m (NEG_BIG for
-    empty receivers; pad head lanes 0)."""
+    ``src_pack`` [n, 2*hcp] = [wh | a_src expanded]; ``stat`` [n, 2*hcp]
+    = [a_dst expanded | m expanded] (m = the precomputed per-receiver
+    max; NEG_BIG rows for empty receivers are never touched by an
+    edge)."""
     n, fp = src_pack.shape
     hcp = heads * cp
-    if fp != hcp + 128:
-        raise ValueError(f"src_pack width {fp} != H*Cp+128 = {hcp + 128}")
+    if fp != 2 * hcp:
+        raise ValueError(f"src_pack width {fp} != 2*H*Cp = {2 * hcp}")
+    if stat.shape != (n, 2 * hcp):
+        raise ValueError(f"stat shape {stat.shape} != {(n, 2 * hcp)}")
     if heads > 64:
         raise ValueError("heads must be <= 64")
     if hcp % 128:
@@ -151,10 +162,10 @@ def gat_fwd(
         num_scalar_prefetch=1,
         grid=(r_blocks, s_blocks),
         in_specs=[
-            pl.BlockSpec((window_rows, hcp + 128), lambda i, s, *_: (s, 0),
+            pl.BlockSpec((window_rows, 2 * hcp), lambda i, s, *_: (s, 0),
                          memory_space=pltpu.VMEM),    # streamed src rows
-            pl.BlockSpec((block_rows, 128), lambda i, s, *_: (i, 0),
-                         memory_space=pltpu.VMEM),    # stationary a_dst
+            pl.BlockSpec((block_rows, 2 * hcp), lambda i, s, *_: (i, 0),
+                         memory_space=pltpu.VMEM),    # stationary [adst|m]
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -215,30 +226,35 @@ def _head_reduce(t, heads: int, hcp: int):
 
 
 def _edge_grad(row_src, row_cof, heads, hcp, slope):
-    """Shared per-edge backward math. Returns (d_wh, dz128, q_dbg).
+    """PURE FULL-LANE per-edge backward. With the per-head scalars
+    pre-expanded to the interleaved value layout (see _fwd_kernel), every
+    z copy-lane is an independent forward variable, so its cotangent is
+    the plain per-lane partial
 
-    row_src: [1, hcp+128] sender pack (wh | a_src);
-    row_cof: [1, hcp+128] receiver coeff pack.
-    dz128: [1, 128] with de*lrelu'(z) in cols [0:32] layout (H<=32).
+        d_wh    = ah * g_o
+        dz_lane = ah * g_o * wh * lrelu'(z)     (= d_wh * wh * lrelu')
+
+    and the per-head sum over copies (the old in-kernel q fold + repeat,
+    measured ~+95 cy/edge together) happens for FREE in the consumer's
+    ``tile(a_src, cp)`` VJP. The denominator's cotangent is already
+    folded into ``g_o``'s constant-1 channel, so no G2 side-channel
+    either. No sub-128-lane ops (~24 cy each), no repeats (~70 cy).
+
+    row_src [1, 2*hcp] = [wh | a_src expanded];
+    row_cof [1, 3*hcp] = [g_o | a_dst expanded | m expanded].
+    Returns (d_wh [1, hcp], dz [1, hcp]).
     """
     wh = row_src[:, :hcp]
-    asrc = row_src[:, hcp:hcp + 32]
+    asrc_e = row_src[:, hcp:]
     g_o = row_cof[:, :hcp]
-    fld = row_cof[:, hcp:hcp + 128]
-    adst = fld[:, 0:32]
-    m = fld[:, 32:64]
-    g2 = fld[:, 64:96]
-    z = asrc + adst
+    adst_e = row_cof[:, hcp:2 * hcp]
+    m_e = row_cof[:, 2 * hcp:]
+    z = asrc_e + adst_e
     e = jnp.where(z >= 0, z, slope * z)
-    ah = jnp.exp(e - m)                              # alpha-hat [1, 32]
-    q = _head_reduce(g_o * wh, heads, hcp)           # [1, heads]
-    q32 = jnp.concatenate([q, jnp.zeros((1, 32 - heads), wh.dtype)], axis=1)
-    de = ah * (q32 + g2)                             # m non-differentiable
-    dz = de * jnp.where(z >= 0, 1.0, slope)
-    ah_e = pltpu.repeat(ah[:, :heads], hcp // heads, axis=1)
-    d_wh = ah_e * g_o
-    dz128 = jnp.concatenate([dz, jnp.zeros((1, 96), wh.dtype)], axis=1)
-    return d_wh, dz128
+    ah = jnp.exp(e - m_e)                            # alpha-hat [1, hcp]
+    d_wh = ah * g_o
+    dz = d_wh * wh * jnp.where(z >= 0, 1.0, slope)
+    return d_wh, dz
 
 
 def _bwd_t_kernel(cell_ptr_ref,
@@ -267,9 +283,9 @@ def _bwd_t_kernel(cell_ptr_ref,
             row_cof = cof_win[pl.ds(sidx[base + j] - col0, 1), :]
             r = ridx[base + j] - row0
             row_src = src_blk[pl.ds(r, 1), :]
-            d_wh, dz128 = _edge_grad(row_src, row_cof, heads, hcp, slope)
+            d_wh, dz = _edge_grad(row_src, row_cof, heads, hcp, slope)
             acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
-                jnp.concatenate([d_wh, dz128], axis=1)
+                jnp.concatenate([d_wh, dz], axis=1)
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
@@ -308,8 +324,8 @@ def _bwd_f_kernel(cell_ptr_ref,
             row_src = src_win[pl.ds(sidx[base + j] - col0, 1), :]
             r = ridx[base + j] - row0
             row_cof = cof_blk[pl.ds(r, 1), :]
-            _d_wh, dz128 = _edge_grad(row_src, row_cof, heads, hcp, slope)
-            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + dz128
+            _d_wh, dz = _edge_grad(row_src, row_cof, heads, hcp, slope)
+            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + dz
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
@@ -400,19 +416,22 @@ def _gat_attention_cached(heads: int, cp: int, dchan: int, slope: float):
 
         # stationary m (see _fwd_kernel): leaky_relu is monotone and a_dst
         # is receiver-constant, so m_r = leaky(max_s a_src + a_dst) — one
-        # cheap 128-lane windowed max over the EGC-geometry plan
+        # cheap 128-lane windowed max over the EGC-geometry plan. The
+        # first 128 lanes of the expanded a_src block carry the per-head
+        # values at lanes [0:heads] (the c=0 copies).
         p = plan.fwd
         (smax,) = windowed_gather_reduce(
-            src_pack[:, hcp:], p.senders, p.receivers, p.cell_ptr,
+            src_pack[:, hcp:hcp + 128], p.senders, p.receivers, p.cell_ptr,
             r_blocks=p.r_blocks, s_blocks=p.s_blocks,
             block_rows=p.block_rows, window_rows=p.window_rows,
             ops=("max",))
-        z = adst[:, 0:64] + smax[:, 0:64]
-        m = jnp.where(z >= 0, z, slope * z)
-        # empty receivers: NEG_BIG (never touched by an edge); pad head
-        # lanes of valid rows stay 0 (smax pad = max of zero packing)
-        m = jnp.where((plan.deg > 0)[:, None], m, NEG_BIG)
-        stat = jnp.concatenate([adst[:, 0:64], m], axis=1)
+        zh = adst[:, :heads] + smax[:, :heads]
+        mh = jnp.where(zh >= 0, zh, slope * zh)
+        # empty receivers: NEG_BIG (never touched by an edge)
+        mh = jnp.where((plan.deg > 0)[:, None], mh, NEG_BIG)
+        stat = jnp.concatenate(
+            [jnp.tile(adst[:, :heads], (1, cp)),      # interleaved expand
+             jnp.tile(mh, (1, cp))], axis=1)
         f = plan.fwd_attn
         o = gat_fwd(src_pack, stat, f.senders, f.receivers, f.cell_ptr,
                     heads=heads, cp=cp, r_blocks=f.r_blocks,
@@ -420,7 +439,8 @@ def _gat_attention_cached(heads: int, cp: int, dchan: int, slope: float):
                     window_rows=f.window_rows, slope=slope)
         d = o[:, dlo:dhi]                       # the ones-channel sums
         md = jnp.concatenate(
-            [m, jnp.pad(d, ((0, 0), (0, 64 - heads)))], axis=1)
+            [jnp.pad(mh, ((0, 0), (0, 64 - heads))),
+             jnp.pad(d, ((0, 0), (0, 64 - heads)))], axis=1)
         return o, md
 
     @jax.custom_vjp
@@ -435,26 +455,24 @@ def _gat_attention_cached(heads: int, cp: int, dchan: int, slope: float):
         import numpy as _np
         src_pack, adst, plan, md = residual
         g_o, g_md = cts
-        m = md[:, 0:32]
         g_d = g_md[:, 64:64 + heads]  # m is non-differentiable (mod. note)
         n = md.shape[0]
-        # fold the denominator cotangent into the ones channel: the bwd
-        # q-fold (sum_c g_o * wh) then carries the old G2 term exactly
+        # fold the denominator cotangent into the constant-1 channel: the
+        # per-lane dz partials then carry the old G2 term exactly
         g_o = g_o.at[:, dlo:dhi].add(g_d)
-        coeff = jnp.concatenate([
-            g_o,
-            adst[:, 0:32], m, jnp.zeros((n, 64), md.dtype),
-        ], axis=1)                                           # [n, hcp+128]
+        coeff = jnp.concatenate(
+            [g_o, jnp.tile(adst[:, :heads], (1, cp)),
+             jnp.tile(md[:, :heads], (1, cp))], axis=1)      # [n, 3*hcp]
+        # pass T output IS the [wh | a_src expanded] cotangent (per-copy
+        # dz lanes; the consumer's tile VJP sums copies)
         d_src = _edge_pass(_bwd_t_kernel, coeff, src_pack, plan.bwd_attn,
-                           hcp + 128, heads=heads, cp=cp, slope=slope)
-        d_adst128 = _edge_pass(_bwd_f_kernel, src_pack, coeff,
-                               plan.fwd_attn,
-                               128, heads=heads, cp=cp, slope=slope)
-        # trailing 96 columns of d_src / cols >= 32 of d_adst are scratch
-        d_src = jnp.concatenate(
-            [d_src[:, :hcp + 32], jnp.zeros((n, 96), d_src.dtype)], axis=1)
-        d_adst = jnp.concatenate(
-            [d_adst128[:, :32], jnp.zeros((n, 96), d_src.dtype)], axis=1)
+                           2 * hcp, heads=heads, cp=cp, slope=slope)
+        dz_r = _edge_pass(_bwd_f_kernel, src_pack, coeff,
+                          plan.fwd_attn,
+                          hcp, heads=heads, cp=cp, slope=slope)
+        # a_dst cotangent: per-head fold of the copy lanes (col c*H + h)
+        d_adst_h = jnp.sum(dz_r.reshape(n, cp, heads), axis=1)
+        d_adst = jnp.pad(d_adst_h, ((0, 0), (0, 128 - heads)))
 
         def zero_ct(x):
             if x is None:

@@ -40,7 +40,7 @@ def main():
     plan = build_kernel_plan(senders, receivers, 169_343)
     n = plan.n_pad
     rng = np.random.default_rng(0)
-    src_pack = jnp.asarray(rng.normal(size=(n, HCP + 128))
+    src_pack = jnp.asarray(rng.normal(size=(n, 2 * HCP))
                            .astype(np.float32))
     adst = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
 
@@ -49,7 +49,7 @@ def main():
     @jax.jit
     def maxpass(sp):
         (smax,) = windowed_gather_reduce(
-            sp[:, HCP:], p.senders, p.receivers, p.cell_ptr,
+            sp[:, HCP:HCP + 128], p.senders, p.receivers, p.cell_ptr,
             r_blocks=p.r_blocks, s_blocks=p.s_blocks,
             block_rows=p.block_rows, window_rows=p.window_rows,
             ops=("max",))
@@ -60,10 +60,11 @@ def main():
           f"cy/edge)", flush=True)
 
     smax = maxpass(src_pack)
-    z = adst[:, 0:64] + smax[:, 0:64]
-    m = jnp.where(z >= 0, z, 0.2 * z)
-    m = jnp.where((plan.deg > 0)[:, None], m, NEG_BIG)
-    stat = jnp.concatenate([adst[:, 0:64], m], axis=1)
+    zh = adst[:, :H] + smax[:, :H]
+    mh = jnp.where(zh >= 0, zh, 0.2 * zh)
+    mh = jnp.where((plan.deg > 0)[:, None], mh, NEG_BIG)
+    stat = jnp.concatenate(
+        [jnp.tile(adst[:, :H], (1, CP)), jnp.tile(mh, (1, CP))], axis=1)
     fa = plan.fwd_attn
 
     @jax.jit
@@ -96,6 +97,30 @@ def main():
     t2 = timeit(fb, src_pack, adst)
     print(f"fwd+bwd             : {t2*1e3:7.1f} ms (bwd ~"
           f"{(t2-t)/e*0.94e9/2:6.1f} cy/edge/pass)", flush=True)
+
+    # individual backward passes (full-lane layout: coeff [n, 3*hcp])
+    from egc_tpu.ops.pallas.attention import (
+        _bwd_f_kernel, _bwd_t_kernel, _edge_pass,
+    )
+    coeff = jnp.asarray(rng.normal(size=(n, 3 * HCP)).astype(np.float32))
+
+    @jax.jit
+    def bt(cf, sp):
+        return _edge_pass(_bwd_t_kernel, cf, sp, plan.bwd_attn, 2 * HCP,
+                          heads=H, cp=CP, slope=0.2)
+
+    tbt = timeit(bt, coeff, src_pack)
+    print(f"bwd_t pass          : {tbt*1e3:7.1f} ms ({tbt/e*0.94e9:6.1f} "
+          f"cy/edge)", flush=True)
+
+    @jax.jit
+    def bf(sp, cf):
+        return _edge_pass(_bwd_f_kernel, sp, cf, plan.fwd_attn, HCP,
+                          heads=H, cp=CP, slope=0.2)
+
+    tbf = timeit(bf, src_pack, coeff)
+    print(f"bwd_f pass          : {tbf*1e3:7.1f} ms ({tbf/e*0.94e9:6.1f} "
+          f"cy/edge)", flush=True)
 
 
 if __name__ == "__main__":

@@ -67,13 +67,14 @@ def main():
             plan = build_kernel_plan(senders, receivers, nn_)
             n = plan.n_pad
             src_pack = jnp.asarray(
-                rng.normal(size=(n, HCP + 128)).astype(np.float32))
+                rng.normal(size=(n, 2 * HCP)).astype(np.float32))
             adst = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
 
             @jax.jit
             def fwd(sp, ad, plan=plan):
                 # production fwd: stationary-m max pass + attention sweep
-                return gat_attention(sp, ad, plan, heads=H, cp=CP)
+                return gat_attention(sp, ad, plan, heads=H, cp=CP,
+                                     dchan=CP - 1)
 
             t = timeit(fwd, src_pack, adst)
             line = (f"{mode:4s} {geom:22s} fwd {t*1e3:7.1f} ms "
@@ -82,7 +83,8 @@ def main():
                 @jax.jit
                 def fb(sp, ad, plan=plan):
                     def loss(sp, ad):
-                        o, md = gat_attention(sp, ad, plan, heads=H, cp=CP)
+                        o, md = gat_attention(sp, ad, plan, heads=H, cp=CP,
+                                              dchan=CP - 1)
                         return jnp.sum(o) + jnp.sum(md[:, 64:96])
                     return jax.grad(loss, argnums=(0, 1))(sp, ad)[0]
 

@@ -44,14 +44,16 @@ def test_gat_fwd_matches_xla_softmax_sum():
     a_src = rng.normal(size=(n, H)).astype(np.float32)
     a_dst = rng.normal(size=(n, H)).astype(np.float32)
 
-    # pack: head-interleaved wh (col c*H+h) + a_src in trailing 128 cols;
-    # channel C is the CONSTANT-1 denominator channel (see gat_attention)
-    src_pack = np.zeros((npad, H * cp + 128), np.float32)
+    # pack: head-interleaved wh (col c*H+h) + a_src EXPANDED to the same
+    # layout; channel C is the CONSTANT-1 denominator channel
+    hcp = H * cp
+    src_pack = np.zeros((npad, 2 * hcp), np.float32)
     for h in range(H):
         for c in range(C):
             src_pack[:n, c * H + h] = wh[:, h, c]
         src_pack[:, C * H + h] = 1.0
-    src_pack[:n, H * cp:H * cp + H] = a_src
+        for c in range(cp):
+            src_pack[:n, hcp + c * H + h] = a_src[:, h]
 
     # numpy reference max (the kernel takes the stationary m as input)
     z = a_src[senders] + a_dst[receivers]                  # [E, H]
@@ -59,11 +61,13 @@ def test_gat_fwd_matches_xla_softmax_sum():
     m_ref = np.full((n, H), -np.inf)
     np.maximum.at(m_ref, receivers, logit)
     has = np.isfinite(m_ref)
+    m_in = np.where(has, m_ref, attn.NEG_BIG)
 
-    stat = np.zeros((npad, 128), np.float32)
-    stat[:n, :H] = a_dst
-    stat[:npad, 64:128] = 0.0
-    stat[:n, 64:64 + H] = np.where(has, m_ref, attn.NEG_BIG)
+    stat = np.zeros((npad, 2 * hcp), np.float32)
+    for h in range(H):
+        for c in range(cp):
+            stat[:n, c * H + h] = a_dst[:, h]
+            stat[:n, hcp + c * H + h] = m_in[:, h]
 
     o = attn.gat_fwd(
         jnp.asarray(src_pack), jnp.asarray(stat),
@@ -159,7 +163,7 @@ def test_gat_attention_value_and_grad_parity():
              jnp.zeros((npad, cp - C - 1, H), wh.dtype)],
             axis=1).reshape(npad, hcp)
         src_pack = jnp.concatenate(
-            [wh_int, jnp.pad(a_src, ((0, 0), (0, 128 - H)))], axis=1)
+            [wh_int, jnp.tile(a_src, (1, cp))], axis=1)
         adst = jnp.pad(a_dst, ((0, 0), (0, 128 - H)))
         o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp,
                               dchan=C)
