@@ -105,17 +105,25 @@ def _fused_gat_softmax_sum(g, h, a_src, a_dst, self_logits, n, H, C,
     plan = g.kernel_plan
     cp = _attn_cp(H, C)
     hcp = H * cp
-    # head-interleaved packing: col c*H + h_i. Channel C (the first pad
-    # channel — the fused gate guarantees cp > C) is packed as CONSTANT 1:
-    # the kernel's single RMW accumulates the softmax denominator there.
-    # a_src rides pre-expanded to the same layout (tile = col c*H+h ->
-    # a_src[h]) so the kernel body needs no lane shuffles.
-    wh_int = jnp.concatenate(
-        [h.transpose(0, 2, 1), jnp.ones((n, 1, H), h.dtype),
-         jnp.zeros((n, cp - C - 1, H), h.dtype)], axis=1).reshape(n, hcp)
+    # head-interleaved packing: col c*H + h_i. When a free pad channel
+    # exists (cp > C), channel C is packed as CONSTANT 1 and the kernel's
+    # single RMW accumulates the softmax denominator there; when cp == C
+    # (e.g. the h128/4-head arxiv config) the kernel runs its separate-
+    # denominator variant (dchan=None). a_src rides pre-expanded to the
+    # same layout (tile = col c*H+h -> a_src[h]) so the kernel body needs
+    # no lane shuffles.
+    if cp > C:
+        wh_int = jnp.concatenate(
+            [h.transpose(0, 2, 1), jnp.ones((n, 1, H), h.dtype),
+             jnp.zeros((n, cp - C - 1, H), h.dtype)],
+            axis=1).reshape(n, hcp)
+        dchan = C
+    else:
+        wh_int = h.transpose(0, 2, 1).reshape(n, hcp)
+        dchan = None
     src_pack = jnp.concatenate([wh_int, jnp.tile(a_src, (1, cp))], axis=1)
     adst = jnp.pad(a_dst, ((0, 0), (0, 128 - H)))
-    o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp, dchan=C,
+    o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp, dchan=dchan,
                           slope=slope)
     # the merged output below is analytically invariant to the running
     # max m, so m is non-differentiable by design (the kernel VJP drops
@@ -170,7 +178,6 @@ class GATConv(_AttentionConvBase):
         plan = getattr(g, "kernel_plan", None)
         if (plan is not None and getattr(plan, "fwd_attn", None) is not None
                 and n == plan.n_pad and H <= 32
-                and _attn_cp(H, C) > C   # free channel for the denominator
                 and (self.dropout == 0.0 or not train)
                 and _fused_attention_enabled()
                 and jax.default_backend() == "tpu"):

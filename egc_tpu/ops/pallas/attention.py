@@ -60,6 +60,39 @@ def _fwd_kernel(cell_ptr_ref,
                 heads: int, cp: int, slope: float,
                 block_rows: int, window_rows: int, chunk: int,
                 s_blocks: int):
+    _fwd_body(cell_ptr_ref, src_win, stat_blk, senders_hbm, receivers_hbm,
+              o_out, None, o_acc, None, sidx, ridx, sem_idx, sem_w, seq_ref,
+              heads=heads, cp=cp, slope=slope, block_rows=block_rows,
+              window_rows=window_rows, chunk=chunk, s_blocks=s_blocks)
+
+
+def _fwd_dacc_kernel(cell_ptr_ref,
+                     src_win, stat_blk, senders_hbm, receivers_hbm,
+                     o_out, d_out,
+                     o_acc, d_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
+                     *,
+                     heads: int, cp: int, slope: float,
+                     block_rows: int, window_rows: int, chunk: int,
+                     s_blocks: int):
+    """Forward variant for cp == C (no free value channel to carry the
+    denominator): a second narrow RMW accumulates ``d_acc[r] += p[:, :128]``
+    — the first 128 lanes of the full-lane ``p`` carry the per-head exp at
+    lane ``c*H + h``, so lane ``h`` (the c=0 copy) is the denominator."""
+    _fwd_body(cell_ptr_ref, src_win, stat_blk, senders_hbm, receivers_hbm,
+              o_out, d_out, o_acc, d_acc, sidx, ridx, sem_idx, sem_w,
+              seq_ref, heads=heads, cp=cp, slope=slope,
+              block_rows=block_rows, window_rows=window_rows, chunk=chunk,
+              s_blocks=s_blocks)
+
+
+def _fwd_body(cell_ptr_ref,
+              src_win, stat_blk, senders_hbm, receivers_hbm,
+              o_out, d_out,
+              o_acc, d_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
+              *,
+              heads: int, cp: int, slope: float,
+              block_rows: int, window_rows: int, chunk: int,
+              s_blocks: int):
     """STATIONARY-m, FULL-LANE softmax sweep. GAT(v1)'s logit is monotone
     in the node-level a_src (leaky_relu is increasing, a_dst[r] constant
     per receiver), so the per-receiver max factorizes:
@@ -93,6 +126,8 @@ def _fwd_kernel(cell_ptr_ref,
     @pl.when(s == 0)
     def _():
         o_acc[:] = jnp.zeros_like(o_acc)
+        if d_acc is not None:
+            d_acc[:] = jnp.zeros_like(d_acc)
 
     def process_chunk(base, lo, n_e):
         def body(j, _):
@@ -105,6 +140,8 @@ def _fwd_kernel(cell_ptr_ref,
             e = jnp.where(z >= 0, z, slope * z)            # leaky_relu
             p = jnp.exp(e - stat[:, hcp:])                 # <= 1 by constr.
             o_acc[pl.ds(r, 1), :] = o_acc[pl.ds(r, 1), :] + p * wh
+            if d_acc is not None:
+                d_acc[pl.ds(r, 1), :] = d_acc[pl.ds(r, 1), :] + p[:, :128]
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
@@ -116,6 +153,8 @@ def _fwd_kernel(cell_ptr_ref,
     @pl.when(s == s_blocks - 1)
     def _():
         o_out[:] = o_acc[:]
+        if d_out is not None:
+            d_out[:] = d_acc[:]
 
 
 def gat_fwd(
@@ -129,9 +168,12 @@ def gat_fwd(
     r_blocks: int, s_blocks: int, block_rows: int, window_rows: int,
     slope: float = 0.2,
     chunk: int = 1024,
-) -> jnp.ndarray:
+    with_dacc: bool = False,
+):
     """One fused pass -> o [n_pad, H*Cp] (unnormalized weighted sums; the
     denominator rides in whatever channel the caller packed as ones).
+    With ``with_dacc`` (cp == C: no free ones channel) returns
+    ``(o, d128)`` where ``d128[:, h]`` is head h's denominator.
 
     ``src_pack`` [n, 2*hcp] = [wh | a_src expanded]; ``stat`` [n, 2*hcp]
     = [a_dst expanded | m expanded] (m = the precomputed per-receiver
@@ -154,10 +196,27 @@ def gat_fwd(
     plan_receivers = jnp.pad(plan_receivers, (0, pad))
 
     kernel = functools.partial(
-        _fwd_kernel, heads=heads, cp=cp, slope=slope,
+        _fwd_dacc_kernel if with_dacc else _fwd_kernel,
+        heads=heads, cp=cp, slope=slope,
         block_rows=block_rows, window_rows=window_rows, chunk=chunk,
         s_blocks=s_blocks)
 
+    o_spec = pl.BlockSpec((block_rows, hcp), lambda i, s, *_: (i, 0),
+                          memory_space=pltpu.VMEM)
+    d_spec = pl.BlockSpec((block_rows, 128), lambda i, s, *_: (i, 0),
+                          memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((block_rows, hcp), src_pack.dtype),
+    ]
+    if with_dacc:
+        scratch.append(pltpu.VMEM((block_rows, 128), src_pack.dtype))
+    scratch += [
+        pltpu.SMEM((2 * chunk,), jnp.int32),
+        pltpu.SMEM((2 * chunk,), jnp.int32),
+        pltpu.SemaphoreType.DMA((4,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(r_blocks, s_blocks),
@@ -169,21 +228,17 @@ def gat_fwd(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block_rows, hcp), lambda i, s, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((block_rows, hcp), src_pack.dtype),
-            pltpu.SMEM((2 * chunk,), jnp.int32),
-            pltpu.SMEM((2 * chunk,), jnp.int32),
-            pltpu.SemaphoreType.DMA((4,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SMEM((1,), jnp.int32),
-        ],
+        out_specs=(o_spec, d_spec) if with_dacc else o_spec,
+        scratch_shapes=scratch,
     )
+    out_shape = jax.ShapeDtypeStruct((n, hcp), src_pack.dtype)
+    if with_dacc:
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((n, 128), src_pack.dtype))
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hcp), src_pack.dtype),
+        out_shape=out_shape,
     )(cell_ptr, src_pack, stat, plan_senders, plan_receivers)
 
 
@@ -236,24 +291,30 @@ def _edge_grad(row_src, row_cof, heads, hcp, slope):
 
     and the per-head sum over copies (the old in-kernel q fold + repeat,
     measured ~+95 cy/edge together) happens for FREE in the consumer's
-    ``tile(a_src, cp)`` VJP. The denominator's cotangent is already
-    folded into ``g_o``'s constant-1 channel, so no G2 side-channel
-    either. No sub-128-lane ops (~24 cy each), no repeats (~70 cy).
+    ``tile(a_src, cp)`` VJP. The denominator's cotangent is either folded
+    into ``g_o``'s constant-1 channel (dchan mode, 3-field coeff) or rides
+    a 4th pre-scaled field ``g2_e = tile(g_d/cp)`` whose per-lane term
+    ``ah * g2_e`` copy-sums back to exactly ``ah * g_d`` (dacc mode).
+    No sub-128-lane ops (~24 cy each), no repeats (~70 cy).
 
     row_src [1, 2*hcp] = [wh | a_src expanded];
-    row_cof [1, 3*hcp] = [g_o | a_dst expanded | m expanded].
+    row_cof [1, 3*hcp or 4*hcp] = [g_o | a_dst expanded | m expanded
+    (| g_d/cp expanded)].
     Returns (d_wh [1, hcp], dz [1, hcp]).
     """
     wh = row_src[:, :hcp]
     asrc_e = row_src[:, hcp:]
     g_o = row_cof[:, :hcp]
     adst_e = row_cof[:, hcp:2 * hcp]
-    m_e = row_cof[:, 2 * hcp:]
+    m_e = row_cof[:, 2 * hcp:3 * hcp]
     z = asrc_e + adst_e
     e = jnp.where(z >= 0, z, slope * z)
     ah = jnp.exp(e - m_e)                            # alpha-hat [1, hcp]
     d_wh = ah * g_o
-    dz = d_wh * wh * jnp.where(z >= 0, 1.0, slope)
+    de = d_wh * wh
+    if row_cof.shape[1] == 4 * hcp:                  # dacc mode: g2 field
+        de = de + ah * row_cof[:, 3 * hcp:]
+    dz = de * jnp.where(z >= 0, 1.0, slope)
     return d_wh, dz
 
 
@@ -384,7 +445,7 @@ def _edge_pass(kernel_fn, win_arr, blk_arr, plan_dev, out_width, *,
 
 
 def gat_attention(src_pack, adst, plan, *, heads: int, cp: int,
-                  dchan: int, slope: float = 0.2):
+                  dchan, slope: float = 0.2):
     """Differentiable fused GAT edge-softmax primitive.
 
     ``dchan``: the per-head channel index the caller packed as CONSTANT 1
@@ -392,14 +453,16 @@ def gat_attention(src_pack, adst, plan, *, heads: int, cp: int,
     ``C <= dchan < cp``). The kernel's single RMW then accumulates the
     softmax denominator there; this wrapper returns it as
     ``md[:, 64:64+heads]`` alongside the stationary max (``md[:, :heads]``)
-    — same (o, md) contract as before.
+    — same (o, md) contract as before. The denominator cotangent merges
+    into ``g_o``'s dchan columns in the backward.
 
-    The custom VJP runs the two backward passes above; the denominator
-    cotangent merges into ``g_o``'s dchan columns, where the backward's
-    per-head fold ``q = sum_c g_o*wh`` picks it up via the ones channel —
-    no G2 side-channel needed.
+    ``dchan=None`` (cp == C — no free pad channel, e.g. the h128/4-head
+    arxiv config): the forward adds a second narrow RMW into a separate
+    [n, 128] denominator accumulator, and the backward carries the
+    denominator cotangent as a 4th pre-scaled coeff field (see
+    ``_edge_grad``). Same (o, md) contract either way.
     """
-    if not (0 < dchan < cp):
+    if dchan is not None and not (0 < dchan < cp):
         raise ValueError(f"dchan {dchan} must lie in a pad channel < cp "
                          f"{cp}")
     return _gat_attention_cached(heads, cp, dchan, slope)(src_pack, adst,
@@ -407,9 +470,11 @@ def gat_attention(src_pack, adst, plan, *, heads: int, cp: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _gat_attention_cached(heads: int, cp: int, dchan: int, slope: float):
+def _gat_attention_cached(heads: int, cp: int, dchan, slope: float):
     hcp = heads * cp
-    dlo, dhi = dchan * heads, (dchan + 1) * heads
+    use_dacc = dchan is None
+    if not use_dacc:
+        dlo, dhi = dchan * heads, (dchan + 1) * heads
 
     def impl(src_pack, adst, plan):
         from egc_tpu.ops.pallas.gather_reduce import windowed_gather_reduce
@@ -433,11 +498,17 @@ def _gat_attention_cached(heads: int, cp: int, dchan: int, slope: float):
             [jnp.tile(adst[:, :heads], (1, cp)),      # interleaved expand
              jnp.tile(mh, (1, cp))], axis=1)
         f = plan.fwd_attn
-        o = gat_fwd(src_pack, stat, f.senders, f.receivers, f.cell_ptr,
-                    heads=heads, cp=cp, r_blocks=f.r_blocks,
-                    s_blocks=f.s_blocks, block_rows=f.block_rows,
-                    window_rows=f.window_rows, slope=slope)
-        d = o[:, dlo:dhi]                       # the ones-channel sums
+        res = gat_fwd(src_pack, stat, f.senders, f.receivers, f.cell_ptr,
+                      heads=heads, cp=cp, r_blocks=f.r_blocks,
+                      s_blocks=f.s_blocks, block_rows=f.block_rows,
+                      window_rows=f.window_rows, slope=slope,
+                      with_dacc=use_dacc)
+        if use_dacc:
+            o, d128 = res
+            d = d128[:, :heads]
+        else:
+            o = res
+            d = o[:, dlo:dhi]                   # the ones-channel sums
         md = jnp.concatenate(
             [jnp.pad(mh, ((0, 0), (0, 64 - heads))),
              jnp.pad(d, ((0, 0), (0, 64 - heads)))], axis=1)
@@ -457,12 +528,18 @@ def _gat_attention_cached(heads: int, cp: int, dchan: int, slope: float):
         g_o, g_md = cts
         g_d = g_md[:, 64:64 + heads]  # m is non-differentiable (mod. note)
         n = md.shape[0]
-        # fold the denominator cotangent into the constant-1 channel: the
-        # per-lane dz partials then carry the old G2 term exactly
-        g_o = g_o.at[:, dlo:dhi].add(g_d)
-        coeff = jnp.concatenate(
-            [g_o, jnp.tile(adst[:, :heads], (1, cp)),
-             jnp.tile(md[:, :heads], (1, cp))], axis=1)      # [n, 3*hcp]
+        fields = [None, jnp.tile(adst[:, :heads], (1, cp)),
+                  jnp.tile(md[:, :heads], (1, cp))]
+        if use_dacc:
+            # 4th field: g_d pre-scaled by 1/cp — each copy lane adds
+            # ah*g_d/cp to dz, and the consumer's copy-sum restores ah*g_d
+            fields.append(jnp.tile(g_d / cp, (1, cp)))
+        else:
+            # fold the denominator cotangent into the constant-1 channel:
+            # the per-lane dz partials then carry the old G2 term exactly
+            g_o = g_o.at[:, dlo:dhi].add(g_d)
+        fields[0] = g_o
+        coeff = jnp.concatenate(fields, axis=1)       # [n, 3*hcp or 4*hcp]
         # pass T output IS the [wh | a_src expanded] cotangent (per-copy
         # dz lanes; the consumer's tile VJP sums copies)
         d_src = _edge_pass(_bwd_t_kernel, coeff, src_pack, plan.bwd_attn,

@@ -128,15 +128,18 @@ def _mini_plan(senders, receivers, n):
                            n_pad=npad)
 
 
-def test_gat_attention_value_and_grad_parity():
+@pytest.mark.parametrize("C,cp", [(16, 32), (32, 32)])
+def test_gat_attention_value_and_grad_parity(C, cp):
     """Fused flash-softmax attention (fwd + 2-pass bwd) must match the XLA
-    segment-softmax path for values AND gradients."""
+    segment-softmax path for values AND gradients — in both denominator
+    modes: free ones channel (cp > C) and separate accumulator (cp == C,
+    dchan=None)."""
     from egc_tpu.ops.pallas.attention import gat_attention
     from egc_tpu.nn.conv.attention import _attention_alphas
     from egc_tpu.graph.transforms import coalesce_np
 
     rng = np.random.default_rng(3)
-    n, e, H, C, cp = 180, 800, 4, 16, 32
+    n, e, H = 180, 800, 4
     hcp = H * cp
     senders = rng.integers(0, n, e).astype(np.int32)
     receivers = rng.integers(0, n, e).astype(np.int32)
@@ -158,15 +161,20 @@ def test_gat_attention_value_and_grad_parity():
     sj, rj = jnp.asarray(senders), jnp.asarray(receivers)
 
     def fused_loss(wh, a_src, a_dst):
-        wh_int = jnp.concatenate(
-            [wh.transpose(0, 2, 1), jnp.ones((npad, 1, H), wh.dtype),
-             jnp.zeros((npad, cp - C - 1, H), wh.dtype)],
-            axis=1).reshape(npad, hcp)
+        if cp > C:
+            wh_int = jnp.concatenate(
+                [wh.transpose(0, 2, 1), jnp.ones((npad, 1, H), wh.dtype),
+                 jnp.zeros((npad, cp - C - 1, H), wh.dtype)],
+                axis=1).reshape(npad, hcp)
+            dchan = C
+        else:
+            wh_int = wh.transpose(0, 2, 1).reshape(npad, hcp)
+            dchan = None
         src_pack = jnp.concatenate(
             [wh_int, jnp.tile(a_src, (1, cp))], axis=1)
         adst = jnp.pad(a_dst, ((0, 0), (0, 128 - H)))
         o, md = gat_attention(src_pack, adst, plan, heads=H, cp=cp,
-                              dchan=C)
+                              dchan=dchan)
         d_e = md[:, 64:64 + H]
         o = o.reshape(npad, cp, H).transpose(0, 2, 1)[:, :, :C]
         has = jnp.asarray(deg_pos)[:, None, None]
@@ -191,15 +199,17 @@ def test_gat_attention_value_and_grad_parity():
                                    rtol=2e-3, atol=2e-4, err_msg=name)
 
 
-def test_gatconv_fused_branch_matches_xla(monkeypatch):
+@pytest.mark.parametrize("C", [16, 32])
+def test_gatconv_fused_branch_matches_xla(monkeypatch, C):
     """GATConv with a kernel-plan graph on 'TPU' (interpret) must match its
-    own XLA path, including virtual self-loops."""
+    own XLA path, including virtual self-loops. C=16 exercises the free
+    ones-channel mode; C=32 the separate-denominator (dchan=None) mode."""
     from egc_tpu.graph.structure import Graph, pad_graph
     from egc_tpu.nn.conv.attention import GATConv
     from egc_tpu.graph.transforms import coalesce_np
 
     rng = np.random.default_rng(7)
-    n, e, H, C = 150, 700, 4, 16
+    n, e, H = 150, 700, 4
     senders = rng.integers(0, n, e).astype(np.int32)
     receivers = rng.integers(0, n, e).astype(np.int32)
     senders, receivers, _ = coalesce_np(senders, receivers, n)
