@@ -204,21 +204,32 @@ class GATConv(_AttentionConvBase):
 
 def _fused_gatv2_softmax_sum(g, hl, hr, att, self_logits, n, H, C,
                              slope, include_self):
-    """Fused Pallas GATv2 edge-softmax path: returns out [n, H, C]."""
+    """Fused Pallas GATv2 edge-softmax path: returns out [n, H, C].
+
+    Requires cp > C (gated by the caller): channel C of whl is packed
+    CONSTANT 1 to carry the softmax denominator (att's pad channels are
+    zero, so the ones never perturb the logits)."""
     from egc_tpu.ops.pallas.attention import gatv2_attention
 
     plan = g.kernel_plan
     cp = _attn_cp(H, C)
     hcp = H * cp
 
-    def interleave(x):          # [n, H, C] -> [n, hcp] (col c*H + h)
-        return jnp.pad(x.transpose(0, 2, 1),
-                       ((0, 0), (0, cp - C), (0, 0))).reshape(n, hcp)
+    def interleave(x, ones_chan=False):  # [n, H, C] -> [n, hcp] (c*H + h)
+        xt = x.transpose(0, 2, 1)
+        if ones_chan:
+            xt = jnp.concatenate(
+                [xt, jnp.ones((n, 1, H), x.dtype),
+                 jnp.zeros((n, cp - C - 1, H), x.dtype)], axis=1)
+        else:
+            xt = jnp.pad(xt, ((0, 0), (0, cp - C), (0, 0)))
+        return xt.reshape(n, hcp)
 
     att_i = jnp.pad(att.T, ((0, cp - C), (0, 0))).reshape(1, hcp)
     att_rep = jnp.broadcast_to(att_i, (8, hcp))
-    o, md = gatv2_attention(interleave(hl), interleave(hr), att_rep, plan,
-                            heads=H, cp=cp, slope=slope)
+    o, md = gatv2_attention(interleave(hl, ones_chan=True), interleave(hr),
+                            att_rep, plan, heads=H, cp=cp, dchan=C,
+                            slope=slope)
     # m is non-differentiable by design (see _fused_gat_softmax_sum)
     m_e = jax.lax.stop_gradient(md[:, :H])
     d_e = md[:, 64:64 + H]
@@ -277,6 +288,7 @@ class GATv2Conv(_AttentionConvBase):
         plan = getattr(g, "kernel_plan", None)
         if (plan is not None and getattr(plan, "fwd_attn", None) is not None
                 and n == plan.n_pad and H <= 32
+                and _attn_cp(H, C) > C   # ones channel for the denominator
                 and (self.dropout == 0.0 or not train)
                 and _fused_attention_enabled()
                 and jax.default_backend() == "tpu"):

@@ -269,17 +269,6 @@ def gat_fwd(
 # Pad lanes must be packed ZERO (then alpha-hat=1, q=0, de=0: no NaNs).
 
 
-def _head_reduce(t, heads: int, hcp: int):
-    """Fold interleaved [1, H*Cp] -> per-head sums in cols [0:heads].
-
-    Cp is a power of two; each fold halves the active width."""
-    width = hcp
-    while width > heads:
-        width //= 2
-        t = t[:, :width] + t[:, width:2 * width]
-    return t                      # [1, heads]
-
-
 def _edge_grad(row_src, row_cof, heads, hcp, slope):
     """PURE FULL-LANE per-edge backward. With the per-head scalars
     pre-expanded to the interleaved value layout (see _fwd_kernel), every
@@ -566,33 +555,40 @@ def _gat_attention_cached(heads: int, cp: int, dchan, slope: float):
 
 # ---------------------------------------------------------------------------
 # GATv2: e_sr = sum_c att[h,c] * leaky_relu(whl[s,h,c] + whr[r,h,c])
-# (PyG GATv2Conv). The per-edge per-head dot runs as an in-register
-# head-fold (measured ~free next to the dynamic row accesses). Layouts are
-# head-interleaved like GAT; ``att`` rides along as a row-replicated [8,
-# H*Cp] VMEM input.
+# (PyG GATv2Conv). Unlike GAT(v1), the logit needs a per-edge per-head
+# reduction over channels, so the stationary-m factorization does not
+# apply — the sweep keeps an ONLINE max/rescale. FULL-LANE design: the
+# per-head fold AND its broadcast back to the interleaved copy layout run
+# as ONE small MXU matmul against a constant 0/1 FOLD matrix
+# (``FOLD[c*H+h, c'*H+h'] = [h == h']``):
+#
+#     e_expanded = (lrelu(wl + wr) * att) @ FOLD        # [1, hcp]
+#
+# (the in-register log2 head-fold + two ``pltpu.repeat``s it replaces
+# measured ~435 cy/edge; the dotfold body runs at ~113 — see
+# scripts/probe_v2_body.py). The running max ``m`` lives expanded in a
+# second [block, hcp] scratch; the denominator rides a CONSTANT-1 value
+# channel of ``whl`` (cp > C required — att's pad channels are zero, so
+# the ones channel never perturbs the logits).
 #
 # Backward (same flash-recompute scheme as GAT; m non-differentiable,
-# so no max-tie term — see the GAT backward note above):
-#   de = alpha-hat (q + G2),  q = head_fold(g_o . whl)
-#   d_whl[s] += alpha-hat g_o + de . att . lrelu'(z)
-#   d_whr[r] += de . att . lrelu'(z)
-#   d_att    += de . lrelu(z)   (accumulated per-receiver, reduced in XLA)
-# coeff_pack [n, 2*H*Cp + 128]: [g_o | whr | fields(m, G2)].
-
-
-def _v2_logit(wl, wr, attv, heads, hcp, slope):
-    z = wl + wr
-    lr = jnp.where(z >= 0, z, slope * z)
-    e_h = _head_reduce(lr * attv, heads, hcp)            # [1, heads]
-    e32 = jnp.concatenate([e_h, jnp.zeros((1, 32 - heads), wl.dtype)],
-                          axis=1)
-    return z, lr, e32
+# so no max-tie term — see the GAT backward note above). Per-lane, with
+# everything head-expanded:
+#   q_e  = (g_o . wl) @ FOLD      (includes the ones channel: the wrapper
+#                                  folds g_d into g_o's dchan columns, and
+#                                  wl's ones channel routes it into q)
+#   de   = alpha-hat * q_e
+#   d_wl = alpha-hat * g_o + de * att * lrelu'(z)
+#   d_wr = de * att * lrelu'(z)   (accumulated per-receiver)
+#   d_att= de * lrelu(z)          (accumulated per-receiver, reduced XLA)
+# coeff_pack [n, 3*H*Cp]: [g_o | whr | m expanded].
 
 
 def _v2_fwd_kernel(cell_ptr_ref,
-                   src_win, dst_blk, att_in, senders_hbm, receivers_hbm,
-                   o_out, md_out,
-                   o_acc, md_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
+                   src_win, dst_blk, att_in, fold_in,
+                   senders_hbm, receivers_hbm,
+                   o_out, m_out,
+                   o_acc, m_acc, sidx, ridx, sem_idx, sem_w, seq_ref,
                    *,
                    heads: int, cp: int, slope: float,
                    block_rows: int, window_rows: int, chunk: int,
@@ -605,32 +601,30 @@ def _v2_fwd_kernel(cell_ptr_ref,
     row0 = i * block_rows
     col0 = s * window_rows
     attv = att_in[0:1, :]
+    fold = fold_in[:, :]
 
     @pl.when(s == 0)
     def _():
         o_acc[:] = jnp.zeros_like(o_acc)
-        md_acc[:, 0:64] = jnp.full((block_rows, 64), NEG_BIG, md_acc.dtype)
-        md_acc[:, 64:128] = jnp.zeros((block_rows, 64), md_acc.dtype)
+        m_acc[:] = jnp.full_like(m_acc, NEG_BIG)
 
     def process_chunk(base, lo, n_e):
         def body(j, _):
             wl = src_win[pl.ds(sidx[base + j] - col0, 1), :]   # [1, hcp]
             r = ridx[base + j] - row0
             wr = dst_blk[pl.ds(r, 1), :]
-            _z, _lr, e32 = _v2_logit(wl, wr, attv, heads, hcp, slope)
-            e = jnp.concatenate([e32, jnp.zeros((1, 32), wl.dtype)], axis=1)
-            cur = md_acc[pl.ds(r, 1), :]
-            m_old = cur[:, 0:64]
-            d_old = cur[:, 64:128]
+            z = wl + wr
+            lr = jnp.where(z >= 0, z, slope * z)
+            e = jax.lax.dot_general(
+                lr * attv, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [1, hcp] expanded
+            m_old = m_acc[pl.ds(r, 1), :]
             m_new = jnp.maximum(m_old, e)
             corr = jnp.exp(m_old - m_new)
             p = jnp.exp(e - m_new)
-            md_acc[pl.ds(r, 1), :] = jnp.concatenate(
-                [m_new, d_old * corr + p], axis=1)
-            corr_e = pltpu.repeat(corr[:, :heads], cp, axis=1)
-            p_e = pltpu.repeat(p[:, :heads], cp, axis=1)
-            o_acc[pl.ds(r, 1), :] = (o_acc[pl.ds(r, 1), :] * corr_e
-                                     + p_e * wl)
+            # ones channel of wl accumulates the denominator inside o
+            o_acc[pl.ds(r, 1), :] = o_acc[pl.ds(r, 1), :] * corr + p * wl
+            m_acc[pl.ds(r, 1), :] = m_new
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
@@ -642,32 +636,33 @@ def _v2_fwd_kernel(cell_ptr_ref,
     @pl.when(s == s_blocks - 1)
     def _():
         o_out[:] = o_acc[:]
-        md_out[:] = md_acc[:]
+        m_out[:] = m_acc[:]
 
 
-def _v2_edge_grad(wl, row_cof, attv, heads, hcp, slope):
-    cp = hcp // heads
+def _v2_edge_grad(wl, row_cof, attv, fold, heads, hcp, slope):
     g_o = row_cof[:, :hcp]
     wr = row_cof[:, hcp:2 * hcp]
-    fld = row_cof[:, 2 * hcp:2 * hcp + 128]
-    m = fld[:, 0:32]
-    g2 = fld[:, 32:64]
-    z, lr, e32 = _v2_logit(wl, wr, attv, heads, hcp, slope)
-    ah = jnp.exp(e32 - m)
-    q = _head_reduce(g_o * wl, heads, hcp)
-    q32 = jnp.concatenate([q, jnp.zeros((1, 32 - heads), wl.dtype)], axis=1)
-    de = ah * (q32 + g2)                             # m non-differentiable
-    de_e = pltpu.repeat(de[:, :heads], cp, axis=1)
-    ah_e = pltpu.repeat(ah[:, :heads], cp, axis=1)
+    m_e = row_cof[:, 2 * hcp:3 * hcp]
+    z = wl + wr
+    lr = jnp.where(z >= 0, z, slope * z)
+    e = jax.lax.dot_general(
+        lr * attv, fold, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ah = jnp.exp(e - m_e)                            # alpha-hat expanded
+    q = jax.lax.dot_general(
+        g_o * wl, fold, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # incl. g_d via ones ch.
+    de = ah * q                                      # m non-differentiable
     lrp = jnp.where(z >= 0, 1.0, slope)
-    dz_term = de_e * attv * lrp
-    d_wl = ah_e * g_o + dz_term
-    datt = de_e * lr
+    dz_term = de * attv * lrp
+    d_wl = ah * g_o + dz_term
+    datt = de * lr
     return d_wl, dz_term, datt
 
 
 def _v2_bwd_t_kernel(cell_ptr_ref,
-                     cof_win, src_blk, att_in, senders_hbm, receivers_hbm,
+                     cof_win, src_blk, att_in, fold_in,
+                     senders_hbm, receivers_hbm,
                      out,
                      acc, sidx, ridx, sem_idx, sem_w, seq_ref,
                      *,
@@ -682,6 +677,7 @@ def _v2_bwd_t_kernel(cell_ptr_ref,
     row0 = i * block_rows
     col0 = s * window_rows
     attv = att_in[0:1, :]
+    fold = fold_in[:, :]
 
     @pl.when(s == 0)
     def _():
@@ -692,8 +688,8 @@ def _v2_bwd_t_kernel(cell_ptr_ref,
             row_cof = cof_win[pl.ds(sidx[base + j] - col0, 1), :]
             r = ridx[base + j] - row0
             wl = src_blk[pl.ds(r, 1), :]
-            d_wl, _dz, _da = _v2_edge_grad(wl, row_cof, attv, heads, hcp,
-                                           slope)
+            d_wl, _dz, _da = _v2_edge_grad(wl, row_cof, attv, fold, heads,
+                                           hcp, slope)
             acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + d_wl
             return 0
 
@@ -709,7 +705,8 @@ def _v2_bwd_t_kernel(cell_ptr_ref,
 
 
 def _v2_bwd_f_kernel(cell_ptr_ref,
-                     src_win, cof_blk, att_in, senders_hbm, receivers_hbm,
+                     src_win, cof_blk, att_in, fold_in,
+                     senders_hbm, receivers_hbm,
                      out,
                      acc, sidx, ridx, sem_idx, sem_w, seq_ref,
                      *,
@@ -724,6 +721,7 @@ def _v2_bwd_f_kernel(cell_ptr_ref,
     row0 = i * block_rows
     col0 = s * window_rows
     attv = att_in[0:1, :]
+    fold = fold_in[:, :]
 
     @pl.when(s == 0)
     def _():
@@ -734,8 +732,8 @@ def _v2_bwd_f_kernel(cell_ptr_ref,
             wl = src_win[pl.ds(sidx[base + j] - col0, 1), :]
             r = ridx[base + j] - row0
             row_cof = cof_blk[pl.ds(r, 1), :]
-            _dwl, dz_term, datt = _v2_edge_grad(wl, row_cof, attv, heads,
-                                                hcp, slope)
+            _dwl, dz_term, datt = _v2_edge_grad(wl, row_cof, attv, fold,
+                                                heads, hcp, slope)
             acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
                 jnp.concatenate([dz_term, datt], axis=1)
             return 0
@@ -751,8 +749,8 @@ def _v2_bwd_f_kernel(cell_ptr_ref,
         out[:] = acc[:]
 
 
-def _v2_edge_pass(kernel_fn, win_arr, blk_arr, att_rep, plan_dev, out_width,
-                  *, heads, cp, slope, chunk=1024):
+def _v2_edge_pass(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
+                  out_width, *, heads, cp, slope, chunk=1024):
     n = win_arr.shape[0]
     senders = plan_dev.senders
     receivers = plan_dev.receivers
@@ -773,6 +771,7 @@ def _v2_edge_pass(kernel_fn, win_arr, blk_arr, att_rep, plan_dev, out_width,
             pl.BlockSpec((plan_dev.block_rows, blk_arr.shape[1]),
                          lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),    # att (replicated)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # FOLD matrix
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -791,24 +790,38 @@ def _v2_edge_pass(kernel_fn, win_arr, blk_arr, att_rep, plan_dev, out_width,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, out_width), win_arr.dtype),
-    )(plan_dev.cell_ptr, win_arr, blk_arr, att_rep, senders, receivers)
+    )(plan_dev.cell_ptr, win_arr, blk_arr, att_rep, fold, senders,
+      receivers)
+
+
+def _fold_matrix(heads: int, hcp: int):
+    """[hcp, hcp] 0/1 matrix: (t @ FOLD)[c'*H+h] = sum_c t[c*H+h]."""
+    idx = jnp.arange(hcp)
+    return (idx[:, None] % heads == idx[None, :] % heads).astype(
+        jnp.float32)
 
 
 def gatv2_attention(whl, whr, att_rep, plan, *, heads: int, cp: int,
-                    slope: float = 0.2):
+                    dchan: int, slope: float = 0.2):
     """Differentiable fused GATv2 edge-softmax primitive.
 
     whl/whr: [n_pad, H*Cp] head-interleaved; att_rep: [8, H*Cp]
-    (row-replicated interleaved attention vector). Returns (o, md) like
-    ``gat_fwd``; gradients flow to whl, whr AND att.
+    (row-replicated interleaved attention vector, ZERO in pad channels).
+    ``dchan``: the pad channel of whl packed as CONSTANT 1 (C <= dchan <
+    cp, required) — the denominator accumulates there. Returns (o, md)
+    like ``gat_fwd``; gradients flow to whl, whr AND att.
     """
-    return _gatv2_attention_cached(heads, cp, slope)(whl, whr, att_rep,
-                                                     plan)
+    if not (0 < dchan < cp):
+        raise ValueError(f"dchan {dchan} must lie in a pad channel < cp "
+                         f"{cp} (GATv2 fused path needs cp > C)")
+    return _gatv2_attention_cached(heads, cp, dchan, slope)(whl, whr,
+                                                            att_rep, plan)
 
 
 @functools.lru_cache(maxsize=None)
-def _gatv2_attention_cached(heads: int, cp: int, slope: float):
+def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
     hcp = heads * cp
+    dlo, dhi = dchan * heads, (dchan + 1) * heads
 
     def impl(whl, whr, att_rep, plan):
         f = plan.fwd_attn
@@ -821,6 +834,7 @@ def _gatv2_attention_cached(heads: int, cp: int, slope: float):
         pad = (1024 - e % 1024) % 1024 + 1024
         senders = jnp.pad(f.senders, (0, pad))
         receivers = jnp.pad(f.receivers, (0, pad))
+        fold = _fold_matrix(heads, hcp)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(f.r_blocks, f.s_blocks),
@@ -829,19 +843,20 @@ def _gatv2_attention_cached(heads: int, cp: int, slope: float):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # att (replicated)
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # FOLD matrix
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
                 pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((f.block_rows, 128), lambda i, s, *_: (i, 0),
+                pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
                 pltpu.VMEM((f.block_rows, hcp), whl.dtype),
-                pltpu.VMEM((f.block_rows, 128), whl.dtype),
+                pltpu.VMEM((f.block_rows, hcp), whl.dtype),
                 pltpu.SMEM((2 * 1024,), jnp.int32),
                 pltpu.SMEM((2 * 1024,), jnp.int32),
                 pltpu.SemaphoreType.DMA((4,)),
@@ -849,11 +864,15 @@ def _gatv2_attention_cached(heads: int, cp: int, slope: float):
                 pltpu.SMEM((1,), jnp.int32),
             ],
         )
-        return pl.pallas_call(
+        o, m_exp = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=(jax.ShapeDtypeStruct((n, hcp), whl.dtype),
-                       jax.ShapeDtypeStruct((n, 128), whl.dtype)),
-        )(f.cell_ptr, whl, whr, att_rep, senders, receivers)
+                       jax.ShapeDtypeStruct((n, hcp), whl.dtype)),
+        )(f.cell_ptr, whl, whr, att_rep, fold, senders, receivers)
+        md = jnp.concatenate(
+            [jnp.pad(m_exp[:, :heads], ((0, 0), (0, 64 - heads))),
+             jnp.pad(o[:, dlo:dhi], ((0, 0), (0, 64 - heads)))], axis=1)
+        return o, md
 
     @jax.custom_vjp
     def f(whl, whr, att_rep, plan):
@@ -867,16 +886,17 @@ def _gatv2_attention_cached(heads: int, cp: int, slope: float):
         import numpy as _np
         whl, whr, att_rep, plan, md = residual
         g_o, g_md = cts
-        n = md.shape[0]
-        m = md[:, 0:32]
-        g_d = g_md[:, 64:96]        # m is non-differentiable (module note)
-        fields = jnp.concatenate(
-            [m, g_d, jnp.zeros((n, 64), md.dtype)], axis=1)
-        coeff = jnp.concatenate([g_o, whr, fields], axis=1)
-        d_whl = _v2_edge_pass(_v2_bwd_t_kernel, coeff, whl, att_rep,
+        g_d = g_md[:, 64:64 + heads]  # m non-differentiable (module note)
+        # fold the denominator cotangent into the constant-1 channel of
+        # whl: the backward's q fold picks it up through that channel
+        g_o = g_o.at[:, dlo:dhi].add(g_d)
+        m_exp = jnp.tile(md[:, :heads], (1, cp))
+        fold = _fold_matrix(heads, hcp)
+        coeff = jnp.concatenate([g_o, whr, m_exp], axis=1)   # [n, 3*hcp]
+        d_whl = _v2_edge_pass(_v2_bwd_t_kernel, coeff, whl, att_rep, fold,
                               plan.bwd_attn, hcp, heads=heads, cp=cp,
                               slope=slope)
-        fpass = _v2_edge_pass(_v2_bwd_f_kernel, whl, coeff, att_rep,
+        fpass = _v2_edge_pass(_v2_bwd_f_kernel, whl, coeff, att_rep, fold,
                               plan.fwd_attn, 2 * hcp, heads=heads, cp=cp,
                               slope=slope)
         d_whr = fpass[:, :hcp]

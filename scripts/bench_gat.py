@@ -35,45 +35,60 @@ def main():
     e = int(np.asarray(g.edge_mask).sum())
     y, tmask = d["y"], d["masks"]["train"]
 
-    # reference arxiv GAT: h152 (BASELINE.md); 8 heads
-    conv = ConvSpec(kind="gat", heads=8)
-    net = ArxivNet(conv=conv, hidden_dim=152, num_layers=3, dropout=0.0,
-                   residual=True, num_features=128, num_classes=40)
-    variables = jax.jit(net.init, static_argnames=("train",))(
-        jax.random.key(0), g, train=False)
-    state = TrainState.create(params=variables["params"],
-                              batch_stats=variables.get("batch_stats", {}),
-                              tx=make_optimizer(1e-2, 0.0))
+    import sys
+    want = sys.argv[1:] or ["gat", "gatv2"]
+    # reference tuned arxiv configs: GAT h152 / GATv2 h112, 8 heads
+    for kind, hidden in (("gat", 152), ("gatv2", 112)):
+        if kind not in want:
+            continue
+        conv = ConvSpec(kind=kind, heads=8)
+        net = ArxivNet(conv=conv, hidden_dim=hidden, num_layers=3,
+                       dropout=0.0, residual=True, num_features=128,
+                       num_classes=40)
+        variables = jax.jit(net.init, static_argnames=("train",))(
+            jax.random.key(0), g, train=False)
+        state = TrainState.create(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=make_optimizer(1e-2, 0.0))
 
-    def make_step(graph):
-        def loss_fn(params, bs, rng):
-            out, mutated = net.apply(
-                {"params": params, "batch_stats": bs}, graph,
-                train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
-            nll = -jnp.take_along_axis(out, y[:, None], axis=1).reshape(-1)
-            m = tmask.astype(out.dtype)
-            return jnp.sum(nll * m) / jnp.sum(m), mutated["batch_stats"]
+        def make_step(graph, net=net):
+            def loss_fn(params, bs, rng):
+                out, mutated = net.apply(
+                    {"params": params, "batch_stats": bs}, graph,
+                    train=True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+                nll = -jnp.take_along_axis(out, y[:, None],
+                                           axis=1).reshape(-1)
+                m = tmask.astype(out.dtype)
+                return jnp.sum(nll * m) / jnp.sum(m), mutated["batch_stats"]
 
-        @jax.jit
-        def step(state, rng):
-            (loss, bs), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params, state.batch_stats, rng)
-            return state.apply_gradients(grads, new_batch_stats=bs), loss
+            @jax.jit
+            def step(state, rng):
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                           rng)
+                return state.apply_gradients(grads, new_batch_stats=bs), loss
 
-        return step
+            return step
 
-    rng = jax.random.key(1)
-    step_fused = make_step(g)
-    t_fused = timeit(lambda s: step_fused(s, rng)[1], state)
-    print(f"GAT h152 H8 fused step: {t_fused*1e3:.1f} ms "
-          f"({e/t_fused/1e6:.2f} M edges/s)", flush=True)
+        rng = jax.random.key(1)
+        tag = f"{kind.upper()} h{hidden} H8"
+        step_fused = make_step(g)
+        t_fused = timeit(lambda s: step_fused(s, rng)[1], state)
+        print(f"{tag} fused step: {t_fused*1e3:.1f} ms "
+              f"({e/t_fused/1e6:.2f} M edges/s)", flush=True)
 
-    g_xla = g.replace(kernel_plan=None)
-    step_xla = make_step(g_xla)
-    t_xla = timeit(lambda s: step_xla(s, rng)[1], state)
-    print(f"GAT h152 H8 XLA step:   {t_xla*1e3:.1f} ms "
-          f"({e/t_xla/1e6:.2f} M edges/s)  speedup {t_xla/t_fused:.2f}x",
-          flush=True)
+        g_xla = g.replace(kernel_plan=None)
+        step_xla = make_step(g_xla)
+        try:
+            t_xla = timeit(lambda s: step_xla(s, rng)[1], state)
+            print(f"{tag} XLA step:   {t_xla*1e3:.1f} ms "
+                  f"({e/t_xla/1e6:.2f} M edges/s)  speedup "
+                  f"{t_xla/t_fused:.2f}x", flush=True)
+        except Exception as exc:  # XLA GATv2 at arxiv scale OOMs (16G HBM)
+            print(f"{tag} XLA step:   FAILED ({type(exc).__name__}: "
+                  f"{str(exc)[:120]})", flush=True)
 
 
 if __name__ == "__main__":

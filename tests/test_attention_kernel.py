@@ -259,15 +259,22 @@ def test_gatv2_attention_value_and_grad_parity():
     deg_pos = np.asarray(plan.deg) > 0
     sj, rj = jnp.asarray(senders), jnp.asarray(receivers)
 
-    def interleave(x):
-        return jnp.pad(x.transpose(0, 2, 1),
-                       ((0, 0), (0, cp - C), (0, 0))).reshape(npad, hcp)
+    def interleave(x, ones_chan=False):
+        xt = x.transpose(0, 2, 1)
+        if ones_chan:
+            xt = jnp.concatenate(
+                [xt, jnp.ones((npad, 1, H), x.dtype),
+                 jnp.zeros((npad, cp - C - 1, H), x.dtype)], axis=1)
+        else:
+            xt = jnp.pad(xt, ((0, 0), (0, cp - C), (0, 0)))
+        return xt.reshape(npad, hcp)
 
     def fused_loss(hl, hr, att):
         att_i = jnp.pad(att.T, ((0, cp - C), (0, 0))).reshape(1, hcp)
         att_rep = jnp.broadcast_to(att_i, (8, hcp))
-        o, md = gatv2_attention(interleave(hl), interleave(hr), att_rep,
-                                plan, heads=H, cp=cp)
+        o, md = gatv2_attention(interleave(hl, ones_chan=True),
+                                interleave(hr), att_rep,
+                                plan, heads=H, cp=cp, dchan=C)
         d_e = md[:, 64:64 + H]
         o = o.reshape(npad, cp, H).transpose(0, 2, 1)[:, :, :C]
         has = jnp.asarray(deg_pos)[:, None, None]
