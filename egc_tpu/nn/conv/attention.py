@@ -76,12 +76,13 @@ class _AttentionConvBase(nn.Module):
 
 
 def _fused_attention_enabled() -> bool:
-    """The fused attention kernels are value+grad-parity-tested but
-    currently land at ~XLA parity on real hardware (per-grid-step DMA
-    latency dominates on thin attention cells — see PERFORMANCE.md), so
-    they are opt-in for now."""
+    """Fused attention kernels are ON by default (round-2 full-lane
+    redesign: 2.9-3.4x over XLA on arxiv-scale GAT, 1.07x at zinc batch
+    scale, and the only single-chip path for arxiv-scale GATv2 — XLA
+    OOMs; see PERFORMANCE.md). Set EGC_TPU_FUSED_ATTENTION=0 to force
+    the XLA fallback."""
     import os
-    return os.environ.get("EGC_TPU_FUSED_ATTENTION", "0") == "1"
+    return os.environ.get("EGC_TPU_FUSED_ATTENTION", "1") == "1"
 
 
 def _attn_cp(heads: int, channels: int) -> int:
