@@ -76,7 +76,8 @@ def main():
         out, mutated = net.apply(
             {"params": params, "batch_stats": batch_stats}, graph,
             train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
-        nll = -jnp.take_along_axis(out, y[:, None], axis=1).reshape(-1)
+        from egc_tpu.train.losses import gather_label_scores
+        nll = -gather_label_scores(out, y)
         m = tmask.astype(out.dtype)
         return jnp.sum(nll * m) / jnp.sum(m), mutated["batch_stats"]
 

@@ -129,9 +129,9 @@ class FullGraphConfig(ExperimentConfig):
                                  tx=self.optimizer(hparams))
 
     def loss_fn(self, out, y, graph):
+        from egc_tpu.train.losses import gather_label_scores
         labels, train_mask = y
-        nll = -jnp.take_along_axis(out, labels[:, None].astype(jnp.int32),
-                                   axis=1).reshape(-1)
+        nll = -gather_label_scores(out, labels)
         m = train_mask.astype(out.dtype)
         return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 

@@ -129,10 +129,9 @@ class RMagConfig(ExperimentConfig):
         if model not in cache:
 
             def loss_fn(out, y, hg):
+                from egc_tpu.train.losses import gather_label_scores
                 labels, train_mask = y
-                nll = -jnp.take_along_axis(
-                    out, labels[:, None].astype(jnp.int32), axis=1
-                ).reshape(-1)
+                nll = -gather_label_scores(out, labels)
                 m = train_mask.astype(out.dtype)
                 return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 

@@ -243,10 +243,9 @@ def make_partitioned_train_step(model, mesh, axis: str = "graph"):
                 {"params": params, "batch_stats": state.batch_stats},
                 graph, sidx, train=True, rngs={"dropout": rng_local},
                 mutable=["batch_stats"])
+            from egc_tpu.train.losses import gather_label_scores
             n_local = y.shape[0]
-            nll = -jnp.take_along_axis(
-                out[:n_local], y[:, None].astype(jnp.int32), axis=1
-            ).reshape(-1)
+            nll = -gather_label_scores(out[:n_local], y)
             m = mask.astype(out.dtype)
             s = jax.lax.psum(jnp.sum(nll * m), axis)
             c = jax.lax.psum(jnp.sum(m), axis)
