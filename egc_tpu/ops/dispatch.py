@@ -334,21 +334,9 @@ def bipartite_multi_aggregate(
     return out[:, :, :f] if f_pad != f else out
 
 
-def fused_multi_aggregate(
-    vals: jnp.ndarray,                 # [n_pad, F], F multiple of 128
-    plan: GraphKernelPlan,
-    aggrs: Sequence[str],
-    *,
-    include_self: bool = False,
-    symnorm_edge_w: Optional[jnp.ndarray] = None,  # [E] ORIGINAL edge order
-    symnorm_self_w: Optional[jnp.ndarray] = None,  # [n_pad]
-) -> jnp.ndarray:
-    """Plan-based fused multi-aggregate: returns [n_pad, A, F].
-
-    Matches ``multi_aggregate`` semantics exactly (empty segments -> 0,
-    min = -max(-x) equivalence, var/std eps, virtual self-loops).
-    """
-    aggrs = tuple(canonical_aggr(a) for a in aggrs)
+def _plan_prims(aggrs: Tuple[str, ...]) -> Tuple[Tuple[str, ...], int]:
+    """(edge-level primitives, backward coeff segment count) for a
+    CANONICAL aggregator tuple."""
     needs = set(aggrs)
     prims = []
     if needs & {"sum", "mean", "var", "std"}:
@@ -361,14 +349,63 @@ def fused_multi_aggregate(
         prims.append("max")
     if "min" in needs:
         prims.append("min")
-    prims = tuple(prims)
-
-    # coeff segments the backward pass will stream: wide bwd windows are
-    # only VMEM-safe up to 4 segments (see GraphKernelPlan docstring)
     nsegs = (("sum" in prims) + ("wsum" in prims) + ("sumsq" in prims)
              + 2 * ("max" in prims) + 2 * ("min" in prims))
-    bwd_plan = plan.bwd if (nsegs <= 4 or plan.bwd_narrow is None) \
-        else plan.bwd_narrow
+    return tuple(prims), nsegs
+
+
+_VMEM_BUDGET = 15 << 20     # bytes; v5e scoped VMEM limit is 16 MB
+
+
+def _wide_fits(plan: GraphKernelPlan, aggrs: Sequence[str],
+               f: int = 256) -> bool:
+    """True when the wide-lane (single-sweep F=256) kernels fit VMEM for
+    this aggregator set at the plan's geometry (see the wide-variant
+    comment in gather_reduce.py). fwd: double-buffered window + one
+    scratch accumulator per primitive. bwd: double-buffered K*F coeff
+    window + stationary vals scratch + gradient scratch."""
+    aggrs = tuple(canonical_aggr(a) for a in aggrs)
+    prims, nsegs = _plan_prims(aggrs)
+    if plan.bwd_narrow is None:
+        return False
+    fwd_bytes = (2 * plan.fwd.window_rows
+                 + len(prims) * plan.fwd.block_rows) * f * 4
+    bw = plan.bwd_narrow
+    bwd_bytes = (2 * bw.window_rows * nsegs + 2 * bw.block_rows) * f * 4
+    return fwd_bytes <= _VMEM_BUDGET and bwd_bytes <= _VMEM_BUDGET
+
+
+def fused_multi_aggregate(
+    vals: jnp.ndarray,                 # [n_pad, F], F multiple of 128
+    plan: GraphKernelPlan,
+    aggrs: Sequence[str],
+    *,
+    include_self: bool = False,
+    symnorm_edge_w: Optional[jnp.ndarray] = None,  # [E] ORIGINAL edge order
+    symnorm_self_w: Optional[jnp.ndarray] = None,  # [n_pad]
+    wide: bool = False,
+) -> jnp.ndarray:
+    """Plan-based fused multi-aggregate: returns [n_pad, A, F].
+
+    Matches ``multi_aggregate`` semantics exactly (empty segments -> 0,
+    min = -max(-x) equivalence, var/std eps, virtual self-loops).
+
+    ``wide``: single-sweep mode for F = 256 (scratch-accumulator kernels;
+    gate with ``_wide_fits``). Uses the narrow-window transpose plan —
+    the K*F-lane coeff stream only fits VMEM at small windows.
+    """
+    aggrs = tuple(canonical_aggr(a) for a in aggrs)
+    prims, nsegs = _plan_prims(aggrs)
+
+    if wide:
+        if plan.bwd_narrow is None:
+            raise ValueError("wide mode requires a narrow transpose plan")
+        bwd_plan = plan.bwd_narrow
+    else:
+        # coeff segments the backward pass will stream: wide bwd windows
+        # are only VMEM-safe up to 4 segments (GraphKernelPlan docstring)
+        bwd_plan = plan.bwd if (nsegs <= 4 or plan.bwd_narrow is None) \
+            else plan.bwd_narrow
 
     ew_f = ew_b = None
     if "wsum" in prims:
@@ -387,7 +424,8 @@ def fused_multi_aggregate(
             ew_f = jnp.take(symnorm_edge_w, plan.fwd.edge_perm)
             ew_b = jnp.take(symnorm_edge_w, bwd_plan.edge_perm)
 
-    prim_outs = _fused_primitives(plan.fwd, bwd_plan, prims, ew_f, ew_b)(vals)
+    prim_outs = _fused_primitives(plan.fwd, bwd_plan, prims, ew_f, ew_b,
+                                  wide=wide)(vals)
     p = dict(zip(prims, prim_outs))
 
     # ---- differentiable node-level assembly -----------------------------
@@ -435,7 +473,7 @@ def fused_multi_aggregate(
 
 
 @functools.lru_cache(maxsize=None)
-def _fused_primitives_cached(prims: Tuple[str, ...]):
+def _fused_primitives_cached(prims: Tuple[str, ...], wide: bool = False):
     """custom_vjp factory keyed by the primitive set (plans/weights are
     passed as residual-closure via the wrapper below)."""
 
@@ -445,7 +483,7 @@ def _fused_primitives_cached(prims: Tuple[str, ...]):
             r_blocks=fwd.r_blocks, s_blocks=fwd.s_blocks,
             block_rows=fwd.block_rows,
             window_rows=fwd.window_rows,
-            ops=prims, edge_w=ew_f)
+            ops=prims, edge_w=ew_f, scratch_acc=wide)
 
     @jax.custom_vjp
     def f(vals, fwd, bwd, ew_f, ew_b):
@@ -483,7 +521,8 @@ def _fused_primitives_cached(prims: Tuple[str, ...]):
             r_blocks=bwd.r_blocks, s_blocks=bwd.s_blocks,
             block_rows=bwd.block_rows,
             window_rows=bwd.window_rows,
-            edge_w=ew_b if "c_wsum" in segs else None)
+            edge_w=ew_b if "c_wsum" in segs else None,
+            scratch_acc=wide)
         # plan / edge-weight args are graph constants: zero cotangents
         # (float0 for integer leaves, per the custom_vjp contract).
         def zero_ct(x):
@@ -500,8 +539,9 @@ def _fused_primitives_cached(prims: Tuple[str, ...]):
     return f
 
 
-def _fused_primitives(fwd_plan, bwd_plan, prims, ew_f, ew_b):
-    fn = _fused_primitives_cached(tuple(prims))
+def _fused_primitives(fwd_plan, bwd_plan, prims, ew_f, ew_b, *,
+                      wide: bool = False):
+    fn = _fused_primitives_cached(tuple(prims), wide)
     return lambda vals: fn(vals, fwd_plan, bwd_plan, ew_f, ew_b)
 
 
@@ -538,21 +578,27 @@ def conv_aggregate(g, x, aggrs, *, include_self: bool = False,
         if f_pad != f:
             x = jnp.pad(x, ((0, 0), (0, f_pad - f)))
         if f_pad > 128:
-            # column-group split: the window/accumulator VMEM budget is
-            # sized for 128-wide features (wider blocks OOM — e.g. arxiv
-            # h136 pads to 256 and needs 20 MB). Aggregation is
-            # column-independent, so each lane group is its own pass at
-            # the proven-fast geometry; cost scales with ceil(f/128)
-            # edge sweeps.
-            outs = [
-                fused_multi_aggregate(
-                    x[:, k:k + 128], plan, aggrs,
+            # column-group split: aggregation is column-independent, so
+            # lane groups run as separate edge sweeps. 256-lane groups use
+            # the WIDE kernels (single sweep, scratch accumulators) when
+            # the aggregator set fits VMEM — one loop base instead of two
+            # for the reference's unaligned tuned widths (arxiv h136, hiv
+            # h224, mag h352). Remaining lanes fall back to proven 128-wide
+            # passes (Pallas's double-buffered outputs OOM at F >= 256:
+            # arxiv h136 would need ~20 MB at the production geometry).
+            wide_ok = _wide_fits(plan, aggrs)
+            outs = []
+            k = 0
+            while k < f_pad:
+                w = 256 if (wide_ok and f_pad - k >= 256) else 128
+                outs.append(fused_multi_aggregate(
+                    x[:, k:k + w], plan, aggrs,
                     include_self=include_self,
                     symnorm_edge_w=symnorm_edge_w,
-                    symnorm_self_w=symnorm_self_w)
-                for k in range(0, f_pad, 128)
-            ]
-            out = jnp.concatenate(outs, axis=2)
+                    symnorm_self_w=symnorm_self_w,
+                    wide=(w == 256)))
+                k += w
+            out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
         else:
             out = fused_multi_aggregate(
                 x, plan, aggrs, include_self=include_self,

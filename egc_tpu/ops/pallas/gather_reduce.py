@@ -521,6 +521,7 @@ def windowed_gather_reduce(
     ops: Sequence[str] = ("sum",),
     edge_w: Optional[jnp.ndarray] = None,   # [E] cell-sorted
     chunk: int = 1024,
+    scratch_acc: bool = False,
 ):
     """Fused gather+reduce with VMEM-streamed sender windows.
 
@@ -528,6 +529,11 @@ def windowed_gather_reduce(
     Pallas pipeline streams ``vals`` windows ahead of compute; the per-edge
     inner loop only touches VMEM. Requires the static edge layout from
     ``make_window_plan_np``.
+
+    ``scratch_acc``: wide-lane mode (F = 256) — accumulate in single-
+    buffered VMEM scratch and DMA finished row blocks to HBM outputs (see
+    the wide-variant comment above); the caller is responsible for the
+    VMEM-fit check (``egc_tpu.ops.dispatch._wide_fits``).
     """
     ops = tuple(ops)
     n, f = vals.shape
@@ -548,10 +554,39 @@ def windowed_gather_reduce(
     plan_receivers = jnp.pad(plan_receivers, (0, pad))
     edge_w = jnp.pad(edge_w, (0, pad))
 
-    kernel = functools.partial(
-        _windowed_kernel, ops=ops, block_rows=block_rows,
-        window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
-        s_blocks=s_blocks)
+    if scratch_acc:
+        kernel = functools.partial(
+            _windowed_kernel_wide, ops=ops, block_rows=block_rows,
+            window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
+            s_blocks=s_blocks)
+        out_specs = tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+                          for _ in ops)
+        scratch = (
+            [pltpu.VMEM((block_rows, f), vals.dtype) for _ in ops]
+            + [
+                pltpu.SMEM((chunk,), jnp.int32),
+                pltpu.SMEM((chunk,), jnp.int32),
+                pltpu.SMEM((chunk,), vals.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((1,)),
+                pltpu.SemaphoreType.DMA((len(ops),)),
+            ])
+    else:
+        kernel = functools.partial(
+            _windowed_kernel, ops=ops, block_rows=block_rows,
+            window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
+            s_blocks=s_blocks)
+        out_specs = tuple(
+            pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in ops)
+        scratch = [
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.SMEM((chunk,), vals.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -563,17 +598,8 @@ def windowed_gather_reduce(
             pl.BlockSpec(memory_space=pltpu.ANY),    # receivers
             pl.BlockSpec(memory_space=pltpu.ANY),    # edge_w
         ],
-        out_specs=tuple(
-            pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in ops),
-        scratch_shapes=[
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), vals.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     out_shapes = tuple(jax.ShapeDtypeStruct((n_out, f), vals.dtype)
                        for _ in ops)
@@ -583,6 +609,90 @@ def windowed_gather_reduce(
         out_shape=out_shapes,
     )(cell_ptr, vals, plan_senders, plan_receivers, edge_w)
     return outs if isinstance(outs, tuple) else (outs,)
+
+
+# ---------------------------------------------------------------------------
+# Wide-lane (F > 128) variant: scratch-held accumulators + manual output DMA.
+#
+# Pallas's double-buffered VMEM output blocks exceed the 16 MB scoped VMEM
+# limit at F >= 256 (arxiv h136 pads its bases to 256 lanes and would need
+# ~20 MB at the production geometry). Holding the accumulators in SINGLE-
+# buffered VMEM scratch and copying each finished row block to an HBM
+# output (out_specs = ANY) with one async copy per block keeps the
+# footprint at 2*window + n_ops*block, so the reference's unaligned tuned
+# widths (arxiv h136 -> 256, hiv h224 -> 256, mag h352 bases -> 256) run
+# as ONE [1, 256] edge sweep instead of two column-split [1, 128] sweeps —
+# the loop base (~10.4 cy/edge, PERFORMANCE.md) is paid once, not twice.
+# ---------------------------------------------------------------------------
+
+
+def _windowed_kernel_wide(cell_ptr_ref,
+                          vals_win, senders_hbm, receivers_hbm, edge_w_hbm,
+                          *refs,
+                          ops: Tuple[str, ...], block_rows: int,
+                          window_rows: int, chunk: int, f: int, has_w: bool,
+                          s_blocks: int):
+    n_out = len(ops)
+    outs_hbm = refs[:n_out]
+    accs = refs[n_out:2 * n_out]
+    (sidx, ridx, wbuf, sem_idx, sem_w, sem_out) = refs[2 * n_out:]
+
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = i * block_rows
+    col0 = s * window_rows
+
+    @pl.when(s == 0)
+    def _():
+        for op, o in zip(ops, accs):
+            if op == "max":
+                o[:] = jnp.full_like(o, NEG_BIG)
+            elif op == "min":
+                o[:] = jnp.full_like(o, -NEG_BIG)
+            else:
+                o[:] = jnp.zeros_like(o)
+
+    def process_chunk(base, lo, n_e):
+        def body(j, _):
+            row = vals_win[pl.ds(sidx[base + j] - col0, 1), :]   # [1, F]
+            r = ridx[base + j] - row0
+            for op, o in zip(ops, accs):
+                cur = o[pl.ds(r, 1), :]
+                if op == "sum":
+                    o[pl.ds(r, 1), :] = cur + row
+                elif op == "wsum":
+                    o[pl.ds(r, 1), :] = cur + row * wbuf[base + j]
+                elif op == "sumsq":
+                    o[pl.ds(r, 1), :] = cur + row * row
+                elif op == "max":
+                    o[pl.ds(r, 1), :] = jnp.maximum(cur, row)
+                elif op == "min":
+                    o[pl.ds(r, 1), :] = jnp.minimum(cur, row)
+            return 0
+
+        jax.lax.fori_loop(lo, n_e, body, 0)
+
+    _chunk_blocking(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                    sem_idx, sem_w, None,
+                    (senders_hbm, receivers_hbm,
+                     edge_w_hbm if has_w else None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        for k, (op, o) in enumerate(zip(ops, accs)):
+            if op == "max":
+                o[:] = jnp.where(o[:] <= NEG_BIG, 0.0, o[:])
+            elif op == "min":
+                o[:] = jnp.where(o[:] >= -NEG_BIG, 0.0, o[:])
+            pltpu.make_async_copy(
+                o, outs_hbm[k].at[pl.ds(row0, block_rows)],
+                sem_out.at[k]).start()
+        # block until the copies land: the next grid step (row block i+1,
+        # s == 0) re-initializes the scratch accumulators in place
+        for k, o in enumerate(accs):
+            pltpu.make_async_copy(
+                o, outs_hbm[k].at[pl.ds(row0, block_rows)],
+                sem_out.at[k]).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -678,6 +788,77 @@ def _windowed_bwd_kernel(cell_ptr_ref,
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
 
+def _windowed_bwd_kernel_wide(cell_ptr_ref,
+                              coeff_win, vals_hbm, senders_hbm,
+                              receivers_hbm, edge_w_hbm, out_hbm,
+                              vals_blk, out_acc, sidx, ridx, wbuf,
+                              sem_idx, sem_w, sem_v, sem_out,
+                              *,
+                              segs: Tuple[str, ...], block_rows: int,
+                              window_rows: int, chunk: int, f: int,
+                              has_w: bool, s_blocks: int):
+    """Wide-lane backward: the [block_rows, F] gradient accumulator and the
+    stationary forward-input block both live in single-buffered scratch
+    (vals arrives by ONE manual DMA per row block; the gradient leaves the
+    same way), so only the K*F-lane coeff window is double-buffered — the
+    footprint that kept F = 256 off the fused path."""
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = i * block_rows
+    col0 = s * window_rows
+    pos = {name: k for k, name in enumerate(segs)}
+    needs_v = ("c_sumsq2" in pos or "c_max" in pos or "c_min" in pos)
+
+    @pl.when(s == 0)
+    def _():
+        out_acc[:] = jnp.zeros_like(out_acc)
+        if needs_v:
+            cp = pltpu.make_async_copy(
+                vals_hbm.at[pl.ds(row0, block_rows)], vals_blk, sem_v)
+            cp.start()
+            cp.wait()
+
+    def process_chunk(base, lo, n_e):
+        def body(j, _):
+            crow = coeff_win[pl.ds(sidx[base + j] - col0, 1), :]  # [1, K*F]
+            r = ridx[base + j] - row0
+            contrib = jnp.zeros((1, f), crow.dtype)
+            if "c_sum" in pos:
+                contrib += crow[:, pos["c_sum"] * f:(pos["c_sum"] + 1) * f]
+            if "c_wsum" in pos:
+                contrib += crow[:, pos["c_wsum"] * f:
+                                (pos["c_wsum"] + 1) * f] * wbuf[base + j]
+            if needs_v:
+                v = vals_blk[pl.ds(r, 1), :]
+            if "c_sumsq2" in pos:
+                contrib += crow[:, pos["c_sumsq2"] * f:
+                                (pos["c_sumsq2"] + 1) * f] * v
+            if "c_max" in pos:
+                mx = crow[:, pos["mx"] * f:(pos["mx"] + 1) * f]
+                cm = crow[:, pos["c_max"] * f:(pos["c_max"] + 1) * f]
+                contrib += jnp.where(v >= mx, cm, 0.0)
+            if "c_min" in pos:
+                mn = crow[:, pos["mn"] * f:(pos["mn"] + 1) * f]
+                cm = crow[:, pos["c_min"] * f:(pos["c_min"] + 1) * f]
+                contrib += jnp.where(v <= mn, cm, 0.0)
+            out_acc[pl.ds(r, 1), :] = out_acc[pl.ds(r, 1), :] + contrib
+            return 0
+
+        jax.lax.fori_loop(lo, n_e, body, 0)
+
+    _chunk_blocking(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                    sem_idx, sem_w, None,
+                    (senders_hbm, receivers_hbm,
+                     edge_w_hbm if has_w else None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        cp = pltpu.make_async_copy(
+            out_acc, out_hbm.at[pl.ds(row0, block_rows)], sem_out)
+        cp.start()
+        cp.wait()
+
+
 def windowed_gather_reduce_bwd(
     coeff: jnp.ndarray,                # [n_pad, K*F] packed coefficients
     vals: jnp.ndarray,                 # [n_pad, F] forward input
@@ -689,6 +870,7 @@ def windowed_gather_reduce_bwd(
     r_blocks: int, s_blocks: int, block_rows: int, window_rows: int,
     edge_w: Optional[jnp.ndarray] = None,
     chunk: int = 1024,
+    scratch_acc: bool = False,
 ):
     segs = tuple(segs)
     n, f = vals.shape
@@ -711,10 +893,40 @@ def windowed_gather_reduce_bwd(
     t_receivers = jnp.pad(t_receivers, (0, pad))
     edge_w = jnp.pad(edge_w, (0, pad))
 
-    kernel = functools.partial(
-        _windowed_bwd_kernel, segs=segs, block_rows=block_rows,
-        window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
-        s_blocks=s_blocks)
+    if scratch_acc:
+        kernel = functools.partial(
+            _windowed_bwd_kernel_wide, segs=segs, block_rows=block_rows,
+            window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
+            s_blocks=s_blocks)
+        vals_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch = [
+            pltpu.VMEM((block_rows, f), vals.dtype),   # stationary vals
+            pltpu.VMEM((block_rows, f), vals.dtype),   # gradient accumulator
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.SMEM((chunk,), vals.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA(()),               # vals fetch
+            pltpu.SemaphoreType.DMA(()),               # out store
+        ]
+    else:
+        kernel = functools.partial(
+            _windowed_bwd_kernel, segs=segs, block_rows=block_rows,
+            window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
+            s_blocks=s_blocks)
+        vals_spec = pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
+                                 memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
+                                memory_space=pltpu.VMEM)
+        scratch = [
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.SMEM((chunk,), jnp.int32),
+            pltpu.SMEM((chunk,), vals.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -722,21 +934,13 @@ def windowed_gather_reduce_bwd(
         in_specs=[
             pl.BlockSpec((window_rows, k * f), lambda i, s, *_: (s, 0),
                          memory_space=pltpu.VMEM),   # coeff window
-            pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
-                         memory_space=pltpu.VMEM),   # stationary vals block
+            vals_spec,                               # stationary vals block
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), vals.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=out_spec,
+        scratch_shapes=scratch,
     )
     return pl.pallas_call(
         kernel,

@@ -201,6 +201,76 @@ def test_wide_width_column_split(monkeypatch):
     del ref_out
 
 
+def test_wide_gate_production_geometry():
+    """At the production plan geometry (block 2048 / window 4096), the
+    VMEM gate admits the flagship 3-primitive sets and rejects the
+    5-primitive 6-aggregator set (fwd would need 18 MB > 16 MB VMEM)."""
+    from egc_tpu.ops import dispatch as dsp
+
+    rng = np.random.default_rng(3)
+    senders = rng.integers(0, 5000, 20000).astype(np.int32)
+    receivers = rng.integers(0, 5000, 20000).astype(np.int32)
+    plan = dsp.build_kernel_plan(senders, receivers, 5000, attention=False)
+    assert dsp._wide_fits(plan, ("symnorm", "max", "mean"))
+    assert dsp._wide_fits(plan, ("symnorm",))
+    assert not dsp._wide_fits(plan,
+                              ("sum", "mean", "max", "min", "var", "std"))
+
+
+@pytest.mark.parametrize("aggrs,expect_wide", [
+    (("symnorm", "max", "mean"), True),    # flagship set: prims=3, nsegs=4
+    (("sum", "mean", "max", "min", "var", "std"), True),  # 5-prim wide (the
+    # tiny test-plan geometry fits VMEM, so this exercises the full
+    # primitive set through the wide kernels too)
+])
+def test_wide_single_sweep_parity(monkeypatch, aggrs, expect_wide):
+    """F=256 wide mode (scratch-accumulator kernels, single edge sweep):
+    value+grad parity with the XLA path."""
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.ops import dispatch as dsp
+    from egc_tpu.ops.segment import multi_aggregate
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    vals, senders, receivers = small_graph(seed=21, n=180, e=800, f=128)
+    rng = np.random.default_rng(22)
+    vals = np.concatenate(
+        [vals, rng.normal(size=(vals.shape[0], 128)).astype(np.float32)],
+        axis=1)                            # f = 256 exactly
+    n = vals.shape[0]
+    plan = plan_small(senders, receivers, n)
+    assert dsp._wide_fits(plan, aggrs) == expect_wide
+
+    ew = sw = None
+    if "symnorm" in aggrs:
+        ew, sw = symnorm_weight(jnp.asarray(senders),
+                                jnp.asarray(receivers), n)
+    g = Graph.from_coo(np.zeros((n, 1), np.float32), senders, receivers)
+    g = pad_graph(g, num_nodes=plan.n_pad, num_edges=len(senders))
+    g = g.replace(kernel_plan=plan)
+    vpad = jnp.zeros((plan.n_pad, 256)).at[:n].set(vals)
+    sw_pad = None if sw is None else jnp.zeros(plan.n_pad).at[:n].set(sw)
+
+    def loss(v):
+        out = dsp.conv_aggregate(g, v, aggrs, symnorm_edge_w=ew,
+                                 symnorm_self_w=sw_pad)
+        # sum only the valid rows: empty PAD segments legitimately yield
+        # std = sqrt(1e-5) != 0 in every path, and the XLA reference below
+        # has no pad rows to compare them against
+        return jnp.sum(jnp.sin(out[:n]))
+
+    got, grad = jax.value_and_grad(loss)(vpad)
+    ref_loss, ref_grad = jax.value_and_grad(
+        lambda v: jnp.sum(jnp.sin(multi_aggregate(
+            v, jnp.asarray(senders), jnp.asarray(receivers), aggrs,
+            symnorm_edge_w=ew, symnorm_self_w=sw))))(jnp.asarray(vals))
+    np.testing.assert_allclose(float(got), float(ref_loss), rtol=1e-4)
+    # atol 2e-3: var/std grads subtract E[x^2] and E[x]^2 terms whose
+    # accumulation order differs between the kernel sweep and XLA
+    np.testing.assert_allclose(np.asarray(grad)[:n], np.asarray(ref_grad),
+                               rtol=1e-3, atol=2e-3)
+
+
 def test_padded_batch_pad_rows_match_xla(monkeypatch):
     """Loader-plan batches: padded edges must contribute NOTHING to any
     model row in either pass, INCLUDING the padding rows themselves.
