@@ -74,6 +74,11 @@ class GraphKernelPlan:
     # the fused softmax kernels need smaller blocks to fit VMEM
     fwd_attn: Optional[WindowPlanDev] = None
     bwd_attn: Optional[WindowPlanDev] = None
+    # big-cell layouts for the two-phase (staged-MXU) GATv2 kernels: the
+    # per-tile [T, hcp] @ [hcp, hcp] fold only amortizes with enough edges
+    # per grid cell (~670 at this geometry vs <100 at the fwd_attn one)
+    fwd_v2: Optional[WindowPlanDev] = None
+    bwd_v2: Optional[WindowPlanDev] = None
     n_pad: int = struct.field(pytree_node=False, default=0)
 
 
@@ -172,6 +177,7 @@ def build_kernel_plan(
             window_rows=bwd_narrow_window_rows)
         assert bplan_narrow["n_pad"] == n_pad
     fplan_attn = bplan_attn = None
+    fplan_v2 = bplan_v2 = None
     fgeom, bgeom = _attn_geometry()
     attn_align = max(fgeom + bgeom)
     if attention and n_pad % attn_align == 0:
@@ -182,6 +188,16 @@ def build_kernel_plan(
                                          block_rows=bgeom[0],
                                          window_rows=bgeom[1])
         assert fplan_attn["n_pad"] == n_pad and bplan_attn["n_pad"] == n_pad
+    if attention and n_pad % 4096 == 0:
+        # two-phase GATv2 layouts (see GraphKernelPlan): fwd shares its
+        # geometry with the fwd-direction backward pass (the stationary
+        # coeff block is 3*hcp lanes wide -> block_rows 2048); the
+        # transpose pass streams 3*hcp coeff WINDOWS -> window_rows 2048
+        fplan_v2 = make_window_plan_np(senders, receivers, n_pad,
+                                       block_rows=2048, window_rows=4096)
+        bplan_v2 = make_window_plan_np(receivers, senders, n_pad,
+                                       block_rows=4096, window_rows=2048)
+        assert fplan_v2["n_pad"] == n_pad and bplan_v2["n_pad"] == n_pad
 
     deg = np.zeros(n_pad, np.float32)
     np.add.at(deg, receivers, 1.0)
@@ -205,6 +221,8 @@ def build_kernel_plan(
         bwd_narrow=to_dev(bplan_narrow) if bplan_narrow else None,
         fwd_attn=to_dev(fplan_attn) if fplan_attn else None,
         bwd_attn=to_dev(bplan_attn) if bplan_attn else None,
+        fwd_v2=to_dev(fplan_v2) if fplan_v2 else None,
+        bwd_v2=to_dev(bplan_v2) if bplan_v2 else None,
         deg=jnp.asarray(deg), n_pad=n_pad)
 
 

@@ -794,6 +794,369 @@ def _v2_edge_pass(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
       receivers)
 
 
+# ---------------------------------------------------------------------------
+# Two-phase (staged-MXU) GATv2 kernels.
+#
+# The dotfold bodies above pay an in-loop [1, hcp] @ [hcp, hcp] MXU dot per
+# edge — ~80 of the fwd's ~113 cy/edge is serialized matmul latency
+# (scripts/probe_v2_body.py). Two-phase amortizes it: per tile of T edges
+# within a cell fragment,
+#
+#   phase A: per-edge stage rows (lrelu(wl+wr) * att, and g_o*wl in the
+#            backward) into [T, hcp] scratch;
+#   fold:    ONE [T, hcp] @ [hcp, hcp] MXU matmul for the whole tile;
+#   phase B: per-edge accumulate from the staged folded logits.
+#
+# Semantics are IDENTICAL to the dotfold bodies (same per-edge order, same
+# online max) — only the dot is batched. Tiles need enough edges per grid
+# cell to amortize, so these kernels run on the big-cell fwd_v2/bwd_v2
+# plan layouts (~670 edges/cell vs <100 on fwd_attn); sub-tile remainders
+# take the original per-edge dot body. Measured fwd sweep on the arxiv
+# GATv2 probe: 113 -> 56 cy/edge, bit-exact (scripts/probe_v2_twophase.py).
+# Outputs live in ANY (HBM) with single-buffered scratch accumulators and
+# one manual DMA per row block — the coeff streams are 3*hcp lanes wide
+# and the VMEM saved by not double-buffering outputs pays for the stages.
+# Gated at hcp <= 128 (VMEM fit at the fixed plan geometry).
+# ---------------------------------------------------------------------------
+
+V2_TILE = 128
+
+
+def _v2_fwd_kernel_tp(cell_ptr_ref,
+                      src_win, dst_blk, att_in, fold_in,
+                      senders_hbm, receivers_hbm,
+                      o_out, m_out,
+                      o_acc, m_acc, stage, estage, sidx, ridx, sem_idx,
+                      sem_w, seq_ref, sem_out,
+                      *,
+                      heads: int, cp: int, slope: float,
+                      block_rows: int, window_rows: int, chunk: int,
+                      s_blocks: int):
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
+
+    hcp = heads * cp
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = i * block_rows
+    col0 = s * window_rows
+    attv = att_in[0:1, :]
+    fold = fold_in[:, :]
+
+    @pl.when(s == 0)
+    def _():
+        o_acc[:] = jnp.zeros_like(o_acc)
+        m_acc[:] = jnp.full_like(m_acc, NEG_BIG)
+
+    def accumulate(j, e_e):
+        wl = src_win[pl.ds(sidx[j] - col0, 1), :]
+        r = ridx[j] - row0
+        m_old = m_acc[pl.ds(r, 1), :]
+        m_new = jnp.maximum(m_old, e_e)
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(e_e - m_new)
+        o_acc[pl.ds(r, 1), :] = o_acc[pl.ds(r, 1), :] * corr + p * wl
+        m_acc[pl.ds(r, 1), :] = m_new
+
+    def process_chunk(base, lo, n_e):
+        n_full = (n_e - lo) // V2_TILE
+
+        def tile_body(t, _):
+            t0 = base + lo + t * V2_TILE
+
+            def stage_body(k, _):
+                wl = src_win[pl.ds(sidx[t0 + k] - col0, 1), :]
+                wr = dst_blk[pl.ds(ridx[t0 + k] - row0, 1), :]
+                z = wl + wr
+                lr = jnp.where(z >= 0, z, slope * z)
+                stage[pl.ds(k, 1), :] = lr * attv
+                return 0
+
+            jax.lax.fori_loop(0, V2_TILE, stage_body, 0)
+            estage[:] = jax.lax.dot_general(
+                stage[:], fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            def acc_body(k, _):
+                accumulate(t0 + k, estage[pl.ds(k, 1), :])
+                return 0
+
+            jax.lax.fori_loop(0, V2_TILE, acc_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_full, tile_body, 0)
+
+        def tail_body(j, _):
+            wl = src_win[pl.ds(sidx[base + j] - col0, 1), :]
+            wr = dst_blk[pl.ds(ridx[base + j] - row0, 1), :]
+            z = wl + wr
+            lr = jnp.where(z >= 0, z, slope * z)
+            e_e = jax.lax.dot_general(
+                lr * attv, fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accumulate(base + j, e_e)
+            return 0
+
+        jax.lax.fori_loop(lo + n_full * V2_TILE, n_e, tail_body, 0)
+
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                 sem_idx, sem_w, seq_ref,
+                 (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        cp_o = pltpu.make_async_copy(
+            o_acc, o_out.at[pl.ds(row0, block_rows)], sem_out.at[0])
+        cp_m = pltpu.make_async_copy(
+            m_acc, m_out.at[pl.ds(row0, block_rows)], sem_out.at[1])
+        cp_o.start()
+        cp_m.start()
+        cp_o.wait()
+        cp_m.wait()
+
+
+def _v2_bwd_t_kernel_tp(cell_ptr_ref,
+                        cof_win, src_blk, att_in, fold_in,
+                        senders_hbm, receivers_hbm,
+                        out_hbm,
+                        acc, stage1, stage2, estage1, estage2,
+                        sidx, ridx, sem_idx, sem_w, seq_ref, sem_out,
+                        *,
+                        heads: int, cp: int, slope: float,
+                        block_rows: int, window_rows: int, chunk: int,
+                        s_blocks: int):
+    """Transpose pass: d_whl per ORIGINAL SENDER (= this plan's receiver).
+    Stages s1 = lrelu(z)*att and s2 = g_o*wl; folds both with one MXU
+    matmul each per tile."""
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
+
+    hcp = heads * cp
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = i * block_rows
+    col0 = s * window_rows
+    attv = att_in[0:1, :]
+    fold = fold_in[:, :]
+
+    @pl.when(s == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    def process_chunk(base, lo, n_e):
+        n_full = (n_e - lo) // V2_TILE
+
+        def tile_body(t, _):
+            t0 = base + lo + t * V2_TILE
+
+            def stage_body(k, _):
+                row_cof = cof_win[pl.ds(sidx[t0 + k] - col0, 1), :]
+                wl = src_blk[pl.ds(ridx[t0 + k] - row0, 1), :]
+                g_o = row_cof[:, :hcp]
+                wr = row_cof[:, hcp:2 * hcp]
+                z = wl + wr
+                lr = jnp.where(z >= 0, z, slope * z)
+                stage1[pl.ds(k, 1), :] = lr * attv
+                stage2[pl.ds(k, 1), :] = g_o * wl
+                return 0
+
+            jax.lax.fori_loop(0, V2_TILE, stage_body, 0)
+            estage1[:] = jax.lax.dot_general(
+                stage1[:], fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            estage2[:] = jax.lax.dot_general(
+                stage2[:], fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            def acc_body(k, _):
+                row_cof = cof_win[pl.ds(sidx[t0 + k] - col0, 1), :]
+                r = ridx[t0 + k] - row0
+                wl = src_blk[pl.ds(r, 1), :]
+                g_o = row_cof[:, :hcp]
+                wr = row_cof[:, hcp:2 * hcp]
+                m_e = row_cof[:, 2 * hcp:3 * hcp]
+                ah = jnp.exp(estage1[pl.ds(k, 1), :] - m_e)
+                de = ah * estage2[pl.ds(k, 1), :]
+                z = wl + wr
+                lrp = jnp.where(z >= 0, 1.0, slope)
+                d_wl = ah * g_o + de * attv * lrp
+                acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + d_wl
+                return 0
+
+            jax.lax.fori_loop(0, V2_TILE, acc_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_full, tile_body, 0)
+
+        def tail_body(j, _):
+            row_cof = cof_win[pl.ds(sidx[base + j] - col0, 1), :]
+            r = ridx[base + j] - row0
+            wl = src_blk[pl.ds(r, 1), :]
+            d_wl, _dz, _da = _v2_edge_grad(wl, row_cof, attv, fold, heads,
+                                           hcp, slope)
+            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + d_wl
+            return 0
+
+        jax.lax.fori_loop(lo + n_full * V2_TILE, n_e, tail_body, 0)
+
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                 sem_idx, sem_w, seq_ref,
+                 (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        cp_o = pltpu.make_async_copy(
+            acc, out_hbm.at[pl.ds(row0, block_rows)], sem_out.at[0])
+        cp_o.start()
+        cp_o.wait()
+
+
+def _v2_bwd_f_kernel_tp(cell_ptr_ref,
+                        src_win, cof_blk, att_in, fold_in,
+                        senders_hbm, receivers_hbm,
+                        out_hbm,
+                        acc, stage1, stage2, estage1, estage2,
+                        sidx, ridx, sem_idx, sem_w, seq_ref, sem_out,
+                        *,
+                        heads: int, cp: int, slope: float,
+                        block_rows: int, window_rows: int, chunk: int,
+                        s_blocks: int):
+    """Forward-direction pass: per-RECEIVER [dz_term | datt] accumulation
+    (d_whr and the attention-vector gradient rows)."""
+    from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
+
+    hcp = heads * cp
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+    row0 = i * block_rows
+    col0 = s * window_rows
+    attv = att_in[0:1, :]
+    fold = fold_in[:, :]
+
+    @pl.when(s == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    def process_chunk(base, lo, n_e):
+        n_full = (n_e - lo) // V2_TILE
+
+        def tile_body(t, _):
+            t0 = base + lo + t * V2_TILE
+
+            def stage_body(k, _):
+                wl = src_win[pl.ds(sidx[t0 + k] - col0, 1), :]
+                row_cof = cof_blk[pl.ds(ridx[t0 + k] - row0, 1), :]
+                g_o = row_cof[:, :hcp]
+                wr = row_cof[:, hcp:2 * hcp]
+                z = wl + wr
+                lr = jnp.where(z >= 0, z, slope * z)
+                stage1[pl.ds(k, 1), :] = lr * attv
+                stage2[pl.ds(k, 1), :] = g_o * wl
+                return 0
+
+            jax.lax.fori_loop(0, V2_TILE, stage_body, 0)
+            estage1[:] = jax.lax.dot_general(
+                stage1[:], fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            estage2[:] = jax.lax.dot_general(
+                stage2[:], fold, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+            def acc_body(k, _):
+                wl = src_win[pl.ds(sidx[t0 + k] - col0, 1), :]
+                r = ridx[t0 + k] - row0
+                row_cof = cof_blk[pl.ds(r, 1), :]
+                wr = row_cof[:, hcp:2 * hcp]
+                m_e = row_cof[:, 2 * hcp:3 * hcp]
+                ah = jnp.exp(estage1[pl.ds(k, 1), :] - m_e)
+                de = ah * estage2[pl.ds(k, 1), :]
+                z = wl + wr
+                lr = jnp.where(z >= 0, z, slope * z)
+                lrp = jnp.where(z >= 0, 1.0, slope)
+                dz_term = de * attv * lrp
+                datt = de * lr
+                acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
+                    jnp.concatenate([dz_term, datt], axis=1)
+                return 0
+
+            jax.lax.fori_loop(0, V2_TILE, acc_body, 0)
+            return 0
+
+        jax.lax.fori_loop(0, n_full, tile_body, 0)
+
+        def tail_body(j, _):
+            wl = src_win[pl.ds(sidx[base + j] - col0, 1), :]
+            r = ridx[base + j] - row0
+            row_cof = cof_blk[pl.ds(r, 1), :]
+            _dwl, dz_term, datt = _v2_edge_grad(wl, row_cof, attv, fold,
+                                                heads, hcp, slope)
+            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
+                jnp.concatenate([dz_term, datt], axis=1)
+            return 0
+
+        jax.lax.fori_loop(lo + n_full * V2_TILE, n_e, tail_body, 0)
+
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
+                 sem_idx, sem_w, seq_ref,
+                 (senders_hbm, receivers_hbm, None), process_chunk)
+
+    @pl.when(s == s_blocks - 1)
+    def _():
+        cp_o = pltpu.make_async_copy(
+            acc, out_hbm.at[pl.ds(row0, block_rows)], sem_out.at[0])
+        cp_o.start()
+        cp_o.wait()
+
+
+def _v2_edge_pass_tp(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
+                     out_width, *, heads, cp, slope, chunk=1024):
+    """pallas_call wrapper for the two-phase backward passes: output in
+    ANY, single-buffered accumulator + [T, hcp] stage scratch."""
+    hcp = heads * cp
+    senders = plan_dev.senders
+    receivers = plan_dev.receivers
+    e = senders.shape[0]
+    pad = (chunk - e % chunk) % chunk + chunk
+    senders = jnp.pad(senders, (0, pad))
+    receivers = jnp.pad(receivers, (0, pad))
+    kernel = functools.partial(
+        kernel_fn, heads=heads, cp=cp, slope=slope,
+        block_rows=plan_dev.block_rows, window_rows=plan_dev.window_rows,
+        chunk=chunk, s_blocks=plan_dev.s_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan_dev.r_blocks, plan_dev.s_blocks),
+        in_specs=[
+            pl.BlockSpec((plan_dev.window_rows, win_arr.shape[1]),
+                         lambda i, s, *_: (s, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((plan_dev.block_rows, blk_arr.shape[1]),
+                         lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # att (replicated)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # FOLD matrix
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((plan_dev.block_rows, out_width), win_arr.dtype),
+            pltpu.VMEM((V2_TILE, hcp), win_arr.dtype),
+            pltpu.VMEM((V2_TILE, hcp), win_arr.dtype),
+            pltpu.VMEM((V2_TILE, hcp), win_arr.dtype),
+            pltpu.VMEM((V2_TILE, hcp), win_arr.dtype),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    n_out = plan_dev.r_blocks * plan_dev.block_rows
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_out, out_width), win_arr.dtype),
+    )(plan_dev.cell_ptr, win_arr, blk_arr, att_rep, fold, senders,
+      receivers)
+
+
 def _fold_matrix(heads: int, hcp: int):
     """[hcp, hcp] 0/1 matrix: (t @ FOLD)[c'*H+h] = sum_c t[c*H+h]."""
     idx = jnp.arange(hcp)
@@ -823,18 +1186,60 @@ def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
     hcp = heads * cp
     dlo, dhi = dchan * heads, (dchan + 1) * heads
 
+    def _two_phase(plan):
+        """Two-phase kernels need the big-cell layouts and hcp <= 128
+        (VMEM fit at their fixed geometry — see the two-phase comment)."""
+        return (plan.fwd_v2 is not None and plan.bwd_v2 is not None
+                and hcp <= 128)
+
     def impl(whl, whr, att_rep, plan):
-        f = plan.fwd_attn
-        kernel = functools.partial(
-            _v2_fwd_kernel, heads=heads, cp=cp, slope=slope,
-            block_rows=f.block_rows, window_rows=f.window_rows,
-            chunk=1024, s_blocks=f.s_blocks)
+        two_phase = _two_phase(plan)
+        f = plan.fwd_v2 if two_phase else plan.fwd_attn
         n = whl.shape[0]
         e = f.senders.shape[0]
         pad = (1024 - e % 1024) % 1024 + 1024
         senders = jnp.pad(f.senders, (0, pad))
         receivers = jnp.pad(f.receivers, (0, pad))
         fold = _fold_matrix(heads, hcp)
+        if two_phase:
+            kernel = functools.partial(
+                _v2_fwd_kernel_tp, heads=heads, cp=cp, slope=slope,
+                block_rows=f.block_rows, window_rows=f.window_rows,
+                chunk=1024, s_blocks=f.s_blocks)
+            out_specs = (pl.BlockSpec(memory_space=pl.ANY),
+                         pl.BlockSpec(memory_space=pl.ANY))
+            scratch = [
+                pltpu.VMEM((f.block_rows, hcp), whl.dtype),
+                pltpu.VMEM((f.block_rows, hcp), whl.dtype),
+                pltpu.VMEM((V2_TILE, hcp), whl.dtype),
+                pltpu.VMEM((V2_TILE, hcp), whl.dtype),
+                pltpu.SMEM((2 * 1024,), jnp.int32),
+                pltpu.SMEM((2 * 1024,), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        else:
+            kernel = functools.partial(
+                _v2_fwd_kernel, heads=heads, cp=cp, slope=slope,
+                block_rows=f.block_rows, window_rows=f.window_rows,
+                chunk=1024, s_blocks=f.s_blocks)
+            out_specs = (
+                pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            )
+            scratch = [
+                pltpu.VMEM((f.block_rows, hcp), whl.dtype),
+                pltpu.VMEM((f.block_rows, hcp), whl.dtype),
+                pltpu.SMEM((2 * 1024,), jnp.int32),
+                pltpu.SMEM((2 * 1024,), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SMEM((1,), jnp.int32),
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(f.r_blocks, f.s_blocks),
@@ -848,21 +1253,8 @@ def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=(
-                pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((f.block_rows, hcp), lambda i, s, *_: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((f.block_rows, hcp), whl.dtype),
-                pltpu.VMEM((f.block_rows, hcp), whl.dtype),
-                pltpu.SMEM((2 * 1024,), jnp.int32),
-                pltpu.SMEM((2 * 1024,), jnp.int32),
-                pltpu.SemaphoreType.DMA((4,)),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SMEM((1,), jnp.int32),
-            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
         o, m_exp = pl.pallas_call(
             kernel, grid_spec=grid_spec,
@@ -893,12 +1285,20 @@ def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
         m_exp = jnp.tile(md[:, :heads], (1, cp))
         fold = _fold_matrix(heads, hcp)
         coeff = jnp.concatenate([g_o, whr, m_exp], axis=1)   # [n, 3*hcp]
-        d_whl = _v2_edge_pass(_v2_bwd_t_kernel, coeff, whl, att_rep, fold,
-                              plan.bwd_attn, hcp, heads=heads, cp=cp,
-                              slope=slope)
-        fpass = _v2_edge_pass(_v2_bwd_f_kernel, whl, coeff, att_rep, fold,
-                              plan.fwd_attn, 2 * hcp, heads=heads, cp=cp,
-                              slope=slope)
+        if _two_phase(plan):
+            d_whl = _v2_edge_pass_tp(
+                _v2_bwd_t_kernel_tp, coeff, whl, att_rep, fold,
+                plan.bwd_v2, hcp, heads=heads, cp=cp, slope=slope)
+            fpass = _v2_edge_pass_tp(
+                _v2_bwd_f_kernel_tp, whl, coeff, att_rep, fold,
+                plan.fwd_v2, 2 * hcp, heads=heads, cp=cp, slope=slope)
+        else:
+            d_whl = _v2_edge_pass(_v2_bwd_t_kernel, coeff, whl, att_rep,
+                                  fold, plan.bwd_attn, hcp, heads=heads,
+                                  cp=cp, slope=slope)
+            fpass = _v2_edge_pass(_v2_bwd_f_kernel, whl, coeff, att_rep,
+                                  fold, plan.fwd_attn, 2 * hcp,
+                                  heads=heads, cp=cp, slope=slope)
         d_whr = fpass[:, :hcp]
         d_att_rows = fpass[:, hcp:]
         d_att = jnp.sum(d_att_rows, axis=0, keepdims=True)

@@ -99,8 +99,12 @@ def test_gat_fwd_matches_xla_softmax_sum():
     np.testing.assert_allclose(d[mask], d_ref[mask], rtol=1e-5, atol=1e-6)
 
 
-def _mini_plan(senders, receivers, n):
-    """GraphKernelPlan with small attention layouts for interpret tests."""
+def _mini_plan(senders, receivers, n, v2=False):
+    """GraphKernelPlan with small attention layouts for interpret tests.
+
+    ``v2``: also attach big-cell two-phase layouts (same small geometry —
+    the tiny graphs are dense relative to it, so cells hold >V2_TILE edges
+    and the staged-MXU tile path is exercised, not just its tail)."""
     import jax.numpy as jnp
     from egc_tpu.ops.pallas.gather_reduce import make_window_plan_np
     from egc_tpu.ops.dispatch import WindowPlanDev, GraphKernelPlan
@@ -124,7 +128,10 @@ def _mini_plan(senders, receivers, n):
     deg = np.zeros(npad, np.float32)
     np.add.at(deg, receivers, 1.0)
     return GraphKernelPlan(fwd=dev(f), bwd=dev(b), fwd_attn=dev(f),
-                           bwd_attn=dev(b), deg=jnp.asarray(deg),
+                           bwd_attn=dev(b),
+                           fwd_v2=dev(f) if v2 else None,
+                           bwd_v2=dev(b) if v2 else None,
+                           deg=jnp.asarray(deg),
                            n_pad=npad)
 
 
@@ -232,8 +239,10 @@ def test_gatconv_fused_branch_matches_xla(monkeypatch, C):
     np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-5)
 
 
-def test_gatv2_attention_value_and_grad_parity():
-    """Fused GATv2 edge-softmax (fwd + 2-pass bwd) vs XLA, incl. d_att."""
+@pytest.mark.parametrize("two_phase", [False, True])
+def test_gatv2_attention_value_and_grad_parity(two_phase):
+    """Fused GATv2 edge-softmax (fwd + 2-pass bwd) vs XLA, incl. d_att —
+    both kernel generations (per-edge dotfold and staged-MXU two-phase)."""
     from egc_tpu.ops.pallas.attention import gatv2_attention
     from egc_tpu.nn.conv.attention import _attention_alphas
     from egc_tpu.graph.transforms import coalesce_np
@@ -244,7 +253,7 @@ def test_gatv2_attention_value_and_grad_parity():
     senders = rng.integers(0, n, e).astype(np.int32)
     receivers = rng.integers(0, n, e).astype(np.int32)
     senders, receivers, _ = coalesce_np(senders, receivers, n)
-    plan = _mini_plan(senders, receivers, n)
+    plan = _mini_plan(senders, receivers, n, v2=two_phase)
     npad = plan.n_pad
 
     def mk(shape):
@@ -303,7 +312,8 @@ def test_gatv2_attention_value_and_grad_parity():
                                    err_msg=name)
 
 
-def test_gatv2conv_fused_branch_matches_xla(monkeypatch):
+@pytest.mark.parametrize("two_phase", [False, True])
+def test_gatv2conv_fused_branch_matches_xla(monkeypatch, two_phase):
     from egc_tpu.graph.structure import Graph, pad_graph
     from egc_tpu.nn.conv.attention import GATv2Conv
     from egc_tpu.graph.transforms import coalesce_np
@@ -313,7 +323,7 @@ def test_gatv2conv_fused_branch_matches_xla(monkeypatch):
     senders = rng.integers(0, n, e).astype(np.int32)
     receivers = rng.integers(0, n, e).astype(np.int32)
     senders, receivers, _ = coalesce_np(senders, receivers, n)
-    plan = _mini_plan(senders, receivers, n)
+    plan = _mini_plan(senders, receivers, n, v2=two_phase)
     npad = plan.n_pad
 
     x = np.zeros((npad, 24), np.float32)
