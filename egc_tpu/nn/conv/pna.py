@@ -13,6 +13,22 @@ divide_input=True)`` (reference ``experiments/arxiv/norm_models.py:174-182``,
   histogram exactly as PyG does (hist-weighted mean);
 - per-tower post-MLP on [x_i || aggregated], towers concatenated, final
   Linear. No self-loops.
+
+TPU-first factorization (same trick as :mod:`.mpnn`): the pre-MLP is
+pre_layers=1, i.e. a single Linear — LINEAR in [x_i || x_j] — so
+msg_ij = u_i + v_j with node-level transforms u = x@W_i + b, v = x@W_j.
+u_i is CONSTANT within receiver i's segment, hence
+
+    mean_j(u_i + v_j) = u_i + mean_j(v_j)          (deg_i > 0, else 0)
+    min/max_j(u_i + v_j) = u_i + min/max_j(v_j)    (monotone shift)
+    sum_j(u_i + v_j)  = deg_i * u_i + sum_j(v_j)
+    var/std_j(u_i + v_j) = var/std_j(v_j)          (shift-invariant)
+
+— EXACTLY the per-edge form, but the edge sweep only touches node values
+(no [E, T, 2 f_in] gather or per-edge matmul), so it rides the fused
+Pallas multi-aggregate path via ``conv_aggregate`` and never materializes
+edge-level intermediates (the XLA path's memory wall at arxiv scale).
+Parity vs the edge-level oracle: tests/test_nn.py::test_pna_oracle.
 """
 
 from __future__ import annotations
@@ -26,7 +42,7 @@ import flax.linen as nn
 from egc_tpu.graph.structure import Graph
 from egc_tpu.graph.transforms import in_degree
 from egc_tpu.nn import init as einit
-from egc_tpu.ops import segment_sum, segment_mean, segment_max, segment_min
+from egc_tpu.ops.dispatch import conv_aggregate
 
 
 def avg_log_degree(deg_hist) -> float:
@@ -61,44 +77,35 @@ class PNAConv(nn.Module):
             raise ValueError("out_channels must divide towers")
         f_out = out_dim // T
 
-        x_i = jnp.take(xt, g.receivers, axis=0)   # [E, T, f_in]
-        x_j = jnp.take(xt, g.senders, axis=0)
-        h = jnp.concatenate([x_i, x_j], axis=-1)  # [E, T, 2 f_in]
-
-        # Per-tower pre-MLP (single Linear, PyG pre_layers=1 default).
+        # Per-tower pre-MLP (single Linear, PyG pre_layers=1 default),
+        # split into receiver/sender NODE-level transforms (see docstring).
         wpre = self.param("pre_kernel", einit.torch_linear_kernel,
                           (T, 2 * f_in, f_in))
         bpre = self.param("pre_bias", einit.torch_linear_bias(2 * f_in),
                           (T, f_in))
-        msg = jnp.einsum("etf,tfo->eto", h, wpre) + bpre   # [E, T, f_in]
+        u = jnp.einsum("ntf,tfo->nto", xt, wpre[:, :f_in]) + bpre
+        v = jnp.einsum("ntf,tfo->nto", xt, wpre[:, f_in:])
 
-        aggs = []
         for a in self.aggregators:
-            if a == "mean":
-                out = segment_mean(msg, g.receivers, n, mask=g.edge_mask,
-                                   indices_are_sorted=True)
-            elif a == "min":
-                out = segment_min(msg, g.receivers, n, mask=g.edge_mask,
-                                  indices_are_sorted=True)
-            elif a == "max":
-                out = segment_max(msg, g.receivers, n, mask=g.edge_mask,
-                                  indices_are_sorted=True)
-            elif a in ("sum", "add"):
-                out = segment_sum(msg, g.receivers, n, mask=g.edge_mask,
-                                  indices_are_sorted=True)
-            elif a in ("var", "std"):
-                # stable-VJP var/std (see ops.segment._make_varstd_edges)
-                from egc_tpu.ops.segment import segment_std, segment_var
-                fn = segment_std if a == "std" else segment_var
-                out = fn(msg, g.receivers, n, mask=g.edge_mask,
-                         indices_are_sorted=True)
-            else:
+            if a not in ("mean", "min", "max", "sum", "add", "var", "std"):
                 raise ValueError(f"unsupported PNA aggregator {a!r}")
-            aggs.append(out)
+        agg_v = conv_aggregate(g, v.reshape(n, T * f_in),
+                               tuple(self.aggregators))  # [N, A, T*f_in]
+
+        rdeg = in_degree(g.receivers, n, g.edge_mask, dtype=x.dtype)
+        nonempty = (rdeg > 0)[:, None, None]
+        aggs = []
+        for i, a in enumerate(self.aggregators):
+            av = agg_v[:, i].reshape(n, T, f_in)
+            if a in ("mean", "min", "max"):
+                aggs.append(jnp.where(nonempty, u + av, 0.0))
+            elif a in ("sum", "add"):
+                aggs.append(rdeg[:, None, None] * u + av)
+            else:                     # var/std: shift-invariant in u
+                aggs.append(av)
         agg = jnp.concatenate(aggs, axis=-1)      # [N, T, n_aggr * f_in]
 
-        deg = jnp.maximum(
-            in_degree(g.receivers, n, g.edge_mask, dtype=agg.dtype), 1.0)
+        deg = jnp.maximum(rdeg, 1.0)
         log_deg = jnp.log(deg + 1.0)[:, None, None]
         scaled = []
         for s in self.scalers:

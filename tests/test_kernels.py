@@ -342,3 +342,36 @@ def test_padded_batch_pad_rows_match_xla(monkeypatch):
     np.logical_and.at(well, send, ~ill[recv])
     d = np.abs(np.asarray(gf) - np.asarray(gx))
     assert d[well].max() < 1e-3
+
+
+def test_pnaconv_fused_branch_matches_xla(monkeypatch):
+    """PNAConv's factorized aggregation rides the fused kernel path when a
+    plan is attached (value + grad parity vs the plan-free XLA path)."""
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.nn.conv.pna import PNAConv
+
+    vals, senders, receivers = small_graph(seed=11, n=200, e=900, f=24)
+    n = vals.shape[0]
+    plan = plan_small(senders, receivers, n)
+    g = Graph.from_coo(vals, senders, receivers)
+    g = pad_graph(g, num_nodes=plan.n_pad, num_edges=len(senders))
+    gk = g.replace(kernel_plan=plan)
+
+    conv = PNAConv(8, avg_log_deg=1.2, towers=2)
+    params = conv.init(jax.random.key(0), g, g.nodes)["params"]
+
+    def loss(p, graph):
+        out = conv.apply({"params": p}, graph, graph.nodes)
+        return jnp.sum(out[:n] ** 2)
+
+    ref, gref = jax.value_and_grad(loss)(params, g)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got, ggot = jax.value_and_grad(loss)(params, gk)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+    for (ka, a), (kb, b) in zip(
+            sorted(jax.tree_util.tree_leaves_with_path(gref),
+                   key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_leaves_with_path(ggot),
+                   key=lambda kv: str(kv[0]))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-3, atol=2e-4, err_msg=str(ka))

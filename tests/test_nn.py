@@ -375,3 +375,89 @@ def test_pool_padding_invariance(rng):
                            big.node_mask)
     np.testing.assert_allclose(np.asarray(p_b)[0], np.asarray(p_s)[0],
                                rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# PNA parity vs an edge-level numpy oracle (reference PyG PNAConv semantics:
+# per-tower pre-Linear on [x_i || x_j] per EDGE, aggregate, degree scalers,
+# per-tower post-Linear — reference experiments/arxiv/norm_models.py:174-182)
+# ---------------------------------------------------------------------------
+
+def numpy_pna(x, s, r, params, T, avg_log_deg, aggregators, scalers,
+              divide_input):
+    n = x.shape[0]
+    if divide_input:
+        f_in = x.shape[1] // T
+        xt = x.reshape(n, T, f_in).astype(np.float64)
+    else:
+        f_in = x.shape[1]
+        xt = np.broadcast_to(x[:, None, :], (n, T, f_in)).astype(np.float64)
+    wpre = np.asarray(params["pre_kernel"], np.float64)
+    bpre = np.asarray(params["pre_bias"], np.float64)
+    h = np.concatenate([xt[r], xt[s]], axis=-1)        # [E, T, 2 f_in]
+    msg = np.einsum("etf,tfo->eto", h, wpre) + bpre    # [E, T, f_in]
+
+    aggs = []
+    for a in aggregators:
+        out = np.zeros((n, T, f_in))
+        for i in range(n):
+            sel = msg[r == i]
+            if a == "mean":
+                out[i] = sel.mean(0) if len(sel) else 0.0
+            elif a == "min":
+                out[i] = sel.min(0) if len(sel) else 0.0
+            elif a == "max":
+                out[i] = sel.max(0) if len(sel) else 0.0
+            elif a in ("sum", "add"):
+                out[i] = sel.sum(0)
+            elif a in ("var", "std"):
+                v = ((sel ** 2).mean(0) - sel.mean(0) ** 2) if len(sel) else 0.0
+                v = np.maximum(v, 0.0)
+                out[i] = np.sqrt(v + 1e-5) if a == "std" else v
+        aggs.append(out)
+    agg = np.concatenate(aggs, axis=-1)
+
+    deg = np.zeros(n)
+    np.add.at(deg, r, 1.0)
+    log_deg = np.log(np.maximum(deg, 1.0) + 1.0)[:, None, None]
+    scaled = []
+    for sc in scalers:
+        if sc == "identity":
+            scaled.append(agg)
+        elif sc == "amplification":
+            scaled.append(agg * (log_deg / avg_log_deg))
+        elif sc == "attenuation":
+            scaled.append(agg * (avg_log_deg / log_deg))
+    agg = np.concatenate(scaled, axis=-1)
+
+    post_in = np.concatenate([xt, agg], axis=-1)
+    wpost = np.asarray(params["post_kernel"], np.float64)
+    bpost = np.asarray(params["post_bias"], np.float64)
+    out = np.einsum("ntf,tfo->nto", post_in, wpost) + bpost
+    out = out.reshape(n, -1)
+    k = np.asarray(params["lin"]["kernel"], np.float64)
+    b = np.asarray(params["lin"]["bias"], np.float64)
+    return out @ k + b
+
+
+@pytest.mark.parametrize("divide_input", [True, False])
+@pytest.mark.parametrize("aggrs", [("mean", "min", "max", "std"),
+                                   ("sum", "var", "mean")])
+def test_pna_oracle(rng, divide_input, aggrs):
+    n, f, O, T = 12, 8, 8, 2
+    gd = rand_graph_dict(rng, n, f)
+    s, r = gd["senders"], gd["receivers"]
+    keep = r != n - 1                 # force an isolated receiver
+    s, r = s[keep], r[keep]
+    x = gd["nodes"]
+    g = to_jax(Graph.from_coo(x, s, r))
+
+    conv = PNAConv(O, avg_log_deg=1.3, towers=T, aggregators=aggrs,
+                   divide_input=divide_input)
+    params = conv.init(jax.random.key(2), g, g.nodes)["params"]
+    out = conv.apply({"params": params}, g, g.nodes)
+
+    ref = numpy_pna(x, s, r, params, T, 1.3, aggrs,
+                    ("identity", "amplification", "attenuation"),
+                    divide_input)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)

@@ -90,11 +90,19 @@ def test_halo_refresh_delivers_owner_values():
                 np.testing.assert_allclose(got, x_global[gid], rtol=1e-6)
 
 
-@pytest.mark.parametrize("aggrs", [("symnorm", "max", "mean"), ("sum", "std")])
-def test_partitioned_forward_equals_single_device(aggrs):
+@pytest.mark.parametrize("conv", [
+    ConvSpec(kind="egc", heads=2, bases=2, aggrs=("symnorm", "max", "mean")),
+    ConvSpec(kind="egc", heads=2, bases=2, aggrs=("sum", "std")),
+    # the whole conv zoo must work partitioned: receiver-owned edge
+    # assignment makes every owned receiver's in-neighborhood local, so
+    # attention softmax / PNA degree stats are complete per partition
+    ConvSpec(kind="gat", heads=2),
+    ConvSpec(kind="gatv2", heads=2),
+    ConvSpec(kind="pna", avg_log_deg=1.7),
+], ids=["egc-symnorm", "egc-sum-std", "gat", "gatv2", "pna"])
+def test_partitioned_forward_equals_single_device(conv):
     raw = full_graph(seed=5, n=300, classes=5, feats=8)
     n = raw["x"].shape[0]
-    conv = ConvSpec(kind="egc", heads=2, bases=2, aggrs=aggrs)
 
     # single-device reference
     g = jax.tree.map(jnp.asarray, Graph.from_coo(
