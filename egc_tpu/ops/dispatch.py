@@ -192,11 +192,17 @@ def build_kernel_plan(
         # two-phase GATv2 layouts (see GraphKernelPlan): fwd shares its
         # geometry with the fwd-direction backward pass (the stationary
         # coeff block is 3*hcp lanes wide -> block_rows 2048); the
-        # transpose pass streams 3*hcp coeff WINDOWS -> window_rows 2048
-        fplan_v2 = make_window_plan_np(senders, receivers, n_pad,
-                                       block_rows=2048, window_rows=4096)
-        bplan_v2 = make_window_plan_np(receivers, senders, n_pad,
-                                       block_rows=4096, window_rows=2048)
+        # transpose pass streams 3*hcp coeff WINDOWS -> window_rows 2048.
+        # With the default gather-reduce geometry these coincide with the
+        # fwd/bwd plans — reuse them (host build AND device arrays).
+        fplan_v2 = (fplan if (fwd_block_rows, fwd_window_rows) ==
+                    (2048, 4096) else
+                    make_window_plan_np(senders, receivers, n_pad,
+                                        block_rows=2048, window_rows=4096))
+        bplan_v2 = (bplan if (bwd_block_rows, bwd_window_rows) ==
+                    (4096, 2048) else
+                    make_window_plan_np(receivers, senders, n_pad,
+                                        block_rows=4096, window_rows=2048))
         assert fplan_v2["n_pad"] == n_pad and bplan_v2["n_pad"] == n_pad
 
     deg = np.zeros(n_pad, np.float32)
@@ -216,13 +222,16 @@ def build_kernel_plan(
             r_blocks=p["R"], s_blocks=p["S"],
             block_rows=p["block_rows"], window_rows=p["window_rows"])
 
+    dev_fwd, dev_bwd = to_dev(fplan), to_dev(bplan)
     return GraphKernelPlan(
-        fwd=to_dev(fplan), bwd=to_dev(bplan),
+        fwd=dev_fwd, bwd=dev_bwd,
         bwd_narrow=to_dev(bplan_narrow) if bplan_narrow else None,
         fwd_attn=to_dev(fplan_attn) if fplan_attn else None,
         bwd_attn=to_dev(bplan_attn) if bplan_attn else None,
-        fwd_v2=to_dev(fplan_v2) if fplan_v2 else None,
-        bwd_v2=to_dev(bplan_v2) if bplan_v2 else None,
+        fwd_v2=(None if fplan_v2 is None else
+                dev_fwd if fplan_v2 is fplan else to_dev(fplan_v2)),
+        bwd_v2=(None if bplan_v2 is None else
+                dev_bwd if bplan_v2 is bplan else to_dev(bplan_v2)),
         deg=jnp.asarray(deg), n_pad=n_pad)
 
 

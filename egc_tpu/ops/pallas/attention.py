@@ -820,6 +820,12 @@ def _v2_edge_pass(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
 # ---------------------------------------------------------------------------
 
 V2_TILE = 128
+# edge-chunk size for the two-phase sweeps: bigger chunks split fewer
+# cells across chunk boundaries, so fewer sub-tile tail fragments take
+# the per-edge-dot path. Measured fwd sweep (scripts/probe_v2_twophase):
+# c1024 42.4 -> c2048 39.8 -> c4096 38.5 cy/edge; T256 loses to T128 at
+# every chunk size. SMEM cost is 2 x [2*chunk] int32 = 64 KB at 4096.
+V2_CHUNK = 4096
 
 
 def _v2_fwd_kernel_tp(cell_ptr_ref,
@@ -1107,7 +1113,7 @@ def _v2_bwd_f_kernel_tp(cell_ptr_ref,
 
 
 def _v2_edge_pass_tp(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
-                     out_width, *, heads, cp, slope, chunk=1024):
+                     out_width, *, heads, cp, slope, chunk=V2_CHUNK):
     """pallas_call wrapper for the two-phase backward passes: output in
     ANY, single-buffered accumulator + [T, hcp] stage scratch."""
     hcp = heads * cp
@@ -1197,7 +1203,8 @@ def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
         f = plan.fwd_v2 if two_phase else plan.fwd_attn
         n = whl.shape[0]
         e = f.senders.shape[0]
-        pad = (1024 - e % 1024) % 1024 + 1024
+        chunk = V2_CHUNK if two_phase else 1024
+        pad = (chunk - e % chunk) % chunk + chunk
         senders = jnp.pad(f.senders, (0, pad))
         receivers = jnp.pad(f.receivers, (0, pad))
         fold = _fold_matrix(heads, hcp)
@@ -1205,7 +1212,7 @@ def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
             kernel = functools.partial(
                 _v2_fwd_kernel_tp, heads=heads, cp=cp, slope=slope,
                 block_rows=f.block_rows, window_rows=f.window_rows,
-                chunk=1024, s_blocks=f.s_blocks)
+                chunk=chunk, s_blocks=f.s_blocks)
             out_specs = (pl.BlockSpec(memory_space=pl.ANY),
                          pl.BlockSpec(memory_space=pl.ANY))
             scratch = [
@@ -1213,8 +1220,8 @@ def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
                 pltpu.VMEM((f.block_rows, hcp), whl.dtype),
                 pltpu.VMEM((V2_TILE, hcp), whl.dtype),
                 pltpu.VMEM((V2_TILE, hcp), whl.dtype),
-                pltpu.SMEM((2 * 1024,), jnp.int32),
-                pltpu.SMEM((2 * 1024,), jnp.int32),
+                pltpu.SMEM((2 * chunk,), jnp.int32),
+                pltpu.SMEM((2 * chunk,), jnp.int32),
                 pltpu.SemaphoreType.DMA((4,)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SMEM((1,), jnp.int32),

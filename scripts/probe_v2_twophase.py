@@ -58,7 +58,7 @@ def twophase_kernel(cell_ptr_ref,
                     o_acc, m_acc, stage, estage, sidx, ridx, sem_idx,
                     sem_w, seq_ref, *,
                     heads, cp, slope, block_rows, window_rows, chunk,
-                    s_blocks):
+                    s_blocks, tile_=256):
     from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
@@ -85,10 +85,10 @@ def twophase_kernel(cell_ptr_ref,
         m_acc[pl.ds(r, 1), :] = m_new
 
     def process_chunk(base, lo, n_e):
-        n_full = (n_e - lo) // T
+        n_full = (n_e - lo) // tile_
 
         def tile_body(t, _):
-            t0 = base + lo + t * T
+            t0 = base + lo + t * tile_
 
             def stage_body(k, _):
                 wl = src_win[pl.ds(sidx[t0 + k] - col0, 1), :]
@@ -98,7 +98,7 @@ def twophase_kernel(cell_ptr_ref,
                 stage[pl.ds(k, 1), :] = lr * attv
                 return 0
 
-            jax.lax.fori_loop(0, T, stage_body, 0)
+            jax.lax.fori_loop(0, tile_, stage_body, 0)
             estage[:] = jax.lax.dot_general(
                 stage[:], fold, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -107,7 +107,7 @@ def twophase_kernel(cell_ptr_ref,
                 accumulate(t0 + k, estage[pl.ds(k, 1), :])
                 return 0
 
-            jax.lax.fori_loop(0, T, acc_body, 0)
+            jax.lax.fori_loop(0, tile_, acc_body, 0)
             return 0
 
         jax.lax.fori_loop(0, n_full, tile_body, 0)
@@ -123,7 +123,7 @@ def twophase_kernel(cell_ptr_ref,
             accumulate(base + j, e_e)
             return 0
 
-        jax.lax.fori_loop(lo + n_full * T, n_e, tail_body, 0)
+        jax.lax.fori_loop(lo + n_full * tile_, n_e, tail_body, 0)
 
     _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, None,
                  sem_idx, sem_w, seq_ref,
@@ -135,16 +135,19 @@ def twophase_kernel(cell_ptr_ref,
         m_out[:] = m_acc[:]
 
 
-def run_twophase(whl, whr, att_rep, fold, f):
+def run_twophase(whl, whr, att_rep, fold, f, chunk=1024, tile=None):
+    global T
+    if tile is not None:
+        T = tile
     n = whl.shape[0]
     e = f.senders.shape[0]
-    pad = (1024 - e % 1024) % 1024 + 1024
+    pad = (chunk - e % chunk) % chunk + chunk
     senders = jnp.pad(f.senders, (0, pad))
     receivers = jnp.pad(f.receivers, (0, pad))
     kernel = functools.partial(
         twophase_kernel, heads=H, cp=CP, slope=0.2,
         block_rows=f.block_rows, window_rows=f.window_rows,
-        chunk=1024, s_blocks=f.s_blocks)
+        chunk=chunk, s_blocks=f.s_blocks, tile_=T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(f.r_blocks, f.s_blocks),
@@ -169,8 +172,8 @@ def run_twophase(whl, whr, att_rep, fold, f):
             pltpu.VMEM((f.block_rows, HCP), whl.dtype),
             pltpu.VMEM((T, HCP), whl.dtype),
             pltpu.VMEM((T, HCP), whl.dtype),
-            pltpu.SMEM((2 * 1024,), jnp.int32),
-            pltpu.SMEM((2 * 1024,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
@@ -219,20 +222,39 @@ def main():
     def dotfold_default(wl, wr, ar, fo):
         return run_dotfold(wl, wr, ar, fo, plan.fwd_attn)
 
-    @jax.jit
-    def dotfold_big(wl, wr, ar, fo):
-        return run_dotfold(wl, wr, ar, fo, big)
-
-    @jax.jit
-    def twophase_big(wl, wr, ar, fo):
-        return run_twophase(wl, wr, ar, fo, big)
+    variants = [("dotfold@default", dotfold_default)]
+    for chunk, tile in ((1024, 128), (1024, 256), (2048, 128),
+                        (4096, 128), (4096, 256)):
+        def mk(chunk=chunk, tile=tile, f=big):
+            @jax.jit
+            def fn(wl, wr, ar, fo):
+                return run_twophase(wl, wr, ar, fo, f, chunk=chunk,
+                                    tile=tile)
+            return fn
+        variants.append((f"twophase c{chunk} T{tile}   ", mk()))
+    try:
+        big8, n8 = big_cell_plan(senders, receivers, plan.n_pad,
+                                 block_rows=2048, window_rows=8192)
+        assert n8 == plan.n_pad
+        def mk8():
+            @jax.jit
+            def fn(wl, wr, ar, fo):
+                return run_twophase(wl, wr, ar, fo, big8, chunk=4096,
+                                    tile=128)
+            return fn
+        variants.append(("twophase w8192 c4096 T128", mk8()))
+    except Exception as exc:
+        print(f"w8192 plan build failed: {exc}", flush=True)
 
     ref = None
-    for name, fn in (("dotfold@default", dotfold_default),
-                     ("dotfold@big    ", dotfold_big),
-                     ("twophase@big   ", twophase_big)):
-        out = fn(whl, whr, att_rep, fold)
-        o = np.asarray(out[0])
+    for name, fn in variants:
+        try:
+            out = fn(whl, whr, att_rep, fold)
+            o = np.asarray(out[0])
+        except Exception as exc:
+            print(f"{name}: FAILED ({type(exc).__name__}: "
+                  f"{str(exc)[:90]})", flush=True)
+            continue
         if ref is None:
             ref = o
         else:

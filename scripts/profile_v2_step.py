@@ -1,0 +1,86 @@
+"""Per-op device-time breakdown of the fused GATv2 arxiv training step.
+
+Run: env PYTHONPATH=/root/repo:/root/.axon_site python -u \
+    scripts/profile_v2_step.py
+"""
+
+import glob
+import json
+import os
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egc_tpu.data import synthetic
+from egc_tpu.exp.fullgraph import full_graph_to_device_dict
+from egc_tpu.models.nets import ConvSpec, ArxivNet
+from egc_tpu.train.optim import make_optimizer
+from egc_tpu.train.state import TrainState
+
+TRACE_DIR = "/tmp/v2trace"
+
+
+def main():
+    raw = synthetic.synthetic_full_graph(
+        num_nodes=169_343, avg_degree=14, num_classes=40, num_features=128,
+        seed=0)
+    d = full_graph_to_device_dict(raw)
+    g = d["graph"]
+    y, tmask = d["y"], d["masks"]["train"]
+
+    net = ArxivNet(conv=ConvSpec(kind="gatv2", heads=8), hidden_dim=112,
+                   num_layers=3, dropout=0.0, residual=True,
+                   num_features=128, num_classes=40)
+    variables = jax.jit(net.init, static_argnames=("train",))(
+        jax.random.key(0), g, train=False)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables.get("batch_stats", {}),
+                              tx=make_optimizer(1e-2, 0.0))
+    y1h = jax.nn.one_hot(y, 40)
+
+    def loss_fn(params, bs, rng):
+        out, mutated = net.apply(
+            {"params": params, "batch_stats": bs}, g,
+            train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+        nll = -jnp.sum(out * y1h, axis=1)
+        m = tmask.astype(out.dtype)
+        return jnp.sum(nll * m) / jnp.sum(m), mutated["batch_stats"]
+
+    @jax.jit
+    def step(state, rng):
+        (loss, bs), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats, rng)
+        return state.apply_gradients(grads, new_batch_stats=bs), loss
+
+    rng = jax.random.key(1)
+    s2, _ = step(state, rng)
+    jax.block_until_ready(s2)
+    t0 = time.time()
+    with jax.profiler.trace(TRACE_DIR):
+        s2, loss = step(state, rng)
+        jax.block_until_ready(s2)
+    print(f"step under trace: {time.time()-t0:.3f}s", flush=True)
+
+    os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
+    from xprof.convert import raw_to_tool_data as rtd
+    xplanes = glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True)
+    data, _ = rtd.xspace_to_tool_data(
+        [xplanes[-1]], "framework_op_stats", {"tqx": "out:json"})
+    tables = json.loads(bytes(data))
+    rows = tables["tables"][0]["rows"]
+    dev = []
+    for r in rows:
+        c = [x.get("v") for x in r["c"]]
+        if c[0] == "Device":
+            dev.append((c[2], float(c[7] if c[7] is not None else 0.0)))
+    dev.sort(key=lambda kv: -kv[1])
+    total = sum(v for _, v in dev)
+    print(f"total device self-time: {total/1e3:.1f} ms")
+    for name, v in dev[:18]:
+        print(f"  {v/1e3:8.1f} ms  {100*v/total:5.1f}%  {name[:90]}")
+
+
+if __name__ == "__main__":
+    main()
