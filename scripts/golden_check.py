@@ -62,6 +62,19 @@ def golden_runs():
                         verbose=False)
         return res["test"]["test_acc"]
 
+    def arxiv_model(kind, hidden):
+        def run():
+            cfg = ArxivConfig(kind, hidden=hidden, heads=4,
+                              gat_version=2 if kind == "gatv2" else 1)
+            cfg.load_full_graph = lambda: synthetic.synthetic_full_graph(
+                num_nodes=1500, avg_degree=10, num_classes=10,
+                num_features=32, seed=1)
+            res = run_trial(cfg, {"lr": 0.01, "wd": 0.0, "dropout": 0.1},
+                            seed=0, max_iterations=40, patience=100,
+                            verbose=False)
+            return res["test"]["test_acc"]
+        return run
+
     def rmag():
         cfg = RMagConfig(hidden=32, heads=4, bases=2)
         cfg.load_hetero = lambda: synthetic.synthetic_rmag(
@@ -75,6 +88,9 @@ def golden_runs():
     return [("zinc_egc_s_mae", "min", 0.15, zinc),
             ("cifar_egc_m_acc", "max", 0.15, cifar),
             ("arxiv_egc_m_acc", "max", 0.10, arxiv),
+            ("arxiv_gat_acc", "max", 0.10, arxiv_model("gat", 64)),
+            ("arxiv_gatv2_acc", "max", 0.10, arxiv_model("gatv2", 64)),
+            ("arxiv_pna_acc", "max", 0.10, arxiv_model("pna", 64)),
             ("rmag_regc_acc", "max", 0.15, rmag)]
 
 

@@ -1,7 +1,7 @@
-"""Per-op device-time breakdown of the fused GATv2 arxiv training step.
+"""Per-op device-time breakdown of a fused attention arxiv training step.
 
 Run: env PYTHONPATH=/root/repo:/root/.axon_site python -u \
-    scripts/profile_v2_step.py
+    scripts/profile_v2_step.py [gatv2|gat] [hidden]
 """
 
 import glob
@@ -30,7 +30,11 @@ def main():
     g = d["graph"]
     y, tmask = d["y"], d["masks"]["train"]
 
-    net = ArxivNet(conv=ConvSpec(kind="gatv2", heads=8), hidden_dim=112,
+    import sys
+    kind = sys.argv[1] if len(sys.argv) > 1 else "gatv2"
+    hidden = int(sys.argv[2]) if len(sys.argv) > 2 else \
+        {"gatv2": 112, "gat": 152}[kind]
+    net = ArxivNet(conv=ConvSpec(kind=kind, heads=8), hidden_dim=hidden,
                    num_layers=3, dropout=0.0, residual=True,
                    num_features=128, num_classes=40)
     variables = jax.jit(net.init, static_argnames=("train",))(
@@ -69,12 +73,12 @@ def main():
     data, _ = rtd.xspace_to_tool_data(
         [xplanes[-1]], "framework_op_stats", {"tqx": "out:json"})
     tables = json.loads(bytes(data))
-    rows = tables["tables"][0]["rows"]
+    t0 = tables[0] if isinstance(tables, list) else tables["tables"][0]
     dev = []
-    for r in rows:
+    for r in t0["rows"]:
         c = [x.get("v") for x in r["c"]]
-        if c[0] == "Device":
-            dev.append((c[2], float(c[7] if c[7] is not None else 0.0)))
+        if c[1] == "Device":
+            dev.append((c[3], float(c[7] or 0.0)))
     dev.sort(key=lambda kv: -kv[1])
     total = sum(v for _, v in dev)
     print(f"total device self-time: {total/1e3:.1f} ms")
