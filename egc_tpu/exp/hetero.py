@@ -153,3 +153,155 @@ class RMagConfig(ExperimentConfig):
 
     def test(self, model, state, data):
         return self.val(model, state, data)
+
+
+class PartitionedRMagConfig(RMagConfig):
+    """rmag trained across a ``graph`` mesh axis: every node TYPE is
+    partitioned (per-type halo exchange, egc_tpu.parallel.hetero_halo);
+    featureless-type embeddings are device-local trainable rows carried in
+    ``state.batch_stats`` (sharded leaves must not sit in the replicated
+    params pytree). Same hook surface as RMagConfig. Numerics equal the
+    single-device config (tests/test_hetero_partition.py). Known
+    limitation: plateau lr changes apply to the conv/head Adam only — the
+    embedding Adam keeps the initial lr.
+    """
+
+    def __init__(self, *args, partitions: int = 0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.partitions = partitions or jax.device_count()
+        self._mesh = None
+        self._hsteps = None
+
+    def data(self, hparams):
+        from egc_tpu.parallel.mesh import make_mesh
+        from egc_tpu.parallel.hetero_partition import partition_hetero
+
+        raw = self.load_hetero()
+        hg = hetero_from_numpy(raw["nodes"], raw["edges"])
+        num_nodes = {t: hg.num_nodes(t) for t in hg.node_types}
+        plan = partition_hetero(num_nodes, raw["edges"], self.partitions)
+
+        featless = tuple(sorted(t for t, x in raw["nodes"].items()
+                                if x.shape[-1] == 0))
+        x_stack = {}
+        for t in hg.node_types:
+            tp = plan.types[t]
+            if t in featless:
+                x_stack[t] = np.zeros(
+                    (self.partitions, tp.n_ext, 0), np.float32)
+            else:
+                x_loc = tp.scatter(np.asarray(hg.nodes[t]))
+                x_stack[t] = np.pad(
+                    x_loc, ((0, 0), (0, tp.n_ext - tp.n_local), (0, 0)))
+        hg_stack = jax.tree.map(jnp.asarray,
+                                plan.extended_hetero_graph(x_stack))
+        pp = plan.types["paper"]
+        n_paper = hg.num_nodes("paper")
+        y = np.zeros(n_paper, np.int32)
+        y[:len(raw["y"])] = raw["y"]
+        masks = {}
+        for split in ("train", "val", "test"):
+            m = np.zeros(n_paper, bool)
+            m[raw[f"{split}_idx"]] = True
+            masks[split] = jnp.asarray(pp.scatter(m))
+        self._mesh = make_mesh({"graph": self.partitions})
+        d = {"plan": plan, "hetero": hg_stack,
+             "x_stack": {t: jnp.asarray(v) for t, v in x_stack.items()},
+             "send_idx": {t: jnp.asarray(plan.types[t].send_idx)
+                          for t in hg.node_types},
+             "y": jnp.asarray(pp.scatter(y)),
+             "masks": masks,
+             "num_classes": raw["num_classes"],
+             "featureless": featless,
+             "in_features": raw["nodes"]["paper"].shape[-1],
+             "n_ext_map": {t: plan.types[t].n_ext for t in featless}}
+        self._last_data = d
+        return d
+
+    def model(self, hparams):
+        from egc_tpu.parallel.hetero_halo import DistributedREGCNet
+
+        data = getattr(self, "_last_data", None) or self.data(hparams)
+        return DistributedREGCNet(
+            hidden_dim=self.hidden, num_layers=self.num_layers,
+            dropout=float(hparams.get("dropout", 0.5)),
+            use_egc=self.use_egc, heads=self.heads, bases=self.bases,
+            num_classes=data["num_classes"])
+
+    def init_state(self, model, hparams, data, seed: int) -> TrainState:
+        import optax
+        from egc_tpu.nn import init as einit
+        from egc_tpu.parallel.hetero_halo import init_hetero_partitioned
+
+        self._last_data = data
+        model = self.model(hparams)
+        self._model_obj = model
+        plan = data["plan"]
+        rng = self.rng(seed)
+        emb = {}
+        for i, t in enumerate(data["featureless"]):
+            tp = plan.types[t]
+            n_t = tp.owner.shape[0]
+            table = einit.glorot_uniform(
+                jax.random.fold_in(rng, i + 1),
+                (n_t, data["in_features"]), jnp.float32)
+            emb[t] = jnp.asarray(tp.scatter(np.asarray(table)))
+        emb_tx = optax.adam(float(hparams.get("lr", 0.01)))
+        emb_opt = jax.vmap(emb_tx.init)(emb)
+        self._emb_tx = emb_tx
+
+        x_with_emb = dict(data["x_stack"])
+        from egc_tpu.parallel.hetero_halo import extend_local
+        for t in data["featureless"]:
+            x_with_emb[t] = extend_local(emb[t], data["n_ext_map"][t])
+        variables = init_hetero_partitioned(
+            model, self._mesh, data["hetero"], x_with_emb,
+            data["send_idx"], rng)
+        return TrainState.create(
+            params=variables["params"],
+            batch_stats={"emb": emb, "emb_opt": emb_opt},
+            tx=self.optimizer(hparams))
+
+    def _get_steps(self, model):
+        if self._hsteps is None or self._hsteps_model != model:
+            from egc_tpu.parallel.hetero_halo import (
+                build_hetero_partitioned_steps)
+            data = self._last_data
+            self._hsteps = build_hetero_partitioned_steps(
+                model, self._mesh, self._emb_tx, data["n_ext_map"])
+            self._hsteps_model = model
+        return self._hsteps
+
+    def train(self, model, state, data, rng, iteration: int):
+        model = getattr(self, "_model_obj", model)
+        train_step, _ = self._get_steps(model)
+        emb = state.batch_stats["emb"]
+        emb_opt = state.batch_stats["emb_opt"]
+        slim = state.replace(batch_stats={})
+        slim, new_emb, new_opt, loss = train_step(
+            slim, emb, emb_opt, data["hetero"], data["x_stack"],
+            data["send_idx"], data["y"], data["masks"]["train"],
+            jax.random.fold_in(rng, iteration))
+        state = slim.replace(
+            batch_stats={"emb": new_emb, "emb_opt": new_opt})
+        return state, {"train_loss": float(loss)}
+
+    def val(self, model, state, data):
+        model = getattr(self, "_model_obj", model)
+        _, eval_step = self._get_steps(model)
+        slim = state.replace(batch_stats={})
+        out = eval_step(slim, state.batch_stats["emb"], data["hetero"],
+                        data["x_stack"], data["send_idx"])
+        plan = data["plan"]
+        pp = plan.types["paper"]
+        pred = jnp.argmax(out[:, :pp.n_local], axis=-1)
+        metrics = {}
+        for split, key in (("train", "train_acc"), ("val", "val_acc"),
+                           ("test", "test_acc")):
+            m = data["masks"][split]
+            correct = jnp.sum((pred == data["y"]) & m)
+            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
+        return metrics
+
+    def test(self, model, state, data):
+        return self.val(model, state, data)

@@ -97,8 +97,14 @@ def build_config(dataset, model, *, hidden, heads, bases, aggrs,
                         aggrs=tuple(aggrs.split(",")) if aggrs else
                         ("symnorm",))
     elif dataset == "rmag":
-        from egc_tpu.exp.hetero import RMagConfig
-        cfg = RMagConfig(hidden, heads=heads or 4, bases=bases or 4)
+        if partitions:
+            from egc_tpu.exp.hetero import PartitionedRMagConfig
+            cfg = PartitionedRMagConfig(hidden, heads=heads or 4,
+                                        bases=bases or 4,
+                                        partitions=partitions)
+        else:
+            from egc_tpu.exp.hetero import RMagConfig
+            cfg = RMagConfig(hidden, heads=heads or 4, bases=bases or 4)
     else:
         raise click.UsageError(f"unknown dataset {dataset}")
     cfg.synthetic = synthetic
