@@ -160,10 +160,14 @@ class PartitionedRMagConfig(RMagConfig):
     partitioned (per-type halo exchange, egc_tpu.parallel.hetero_halo);
     featureless-type embeddings are device-local trainable rows carried in
     ``state.batch_stats`` (sharded leaves must not sit in the replicated
-    params pytree). Same hook surface as RMagConfig. Numerics equal the
-    single-device config (tests/test_hetero_partition.py). Known
-    limitation: plateau lr changes apply to the conv/head Adam only — the
-    embedding Adam keeps the initial lr.
+    params pytree); their optimizer matches the single-device one
+    (L2-into-grad Adam, and ``train`` re-syncs its lr from the conv
+    optimizer each step so plateau decays apply to both). Same hook
+    surface as RMagConfig. Numerics equal the single-device config
+    (tests/test_hetero_partition.py). Known limitation: the partitioned
+    hetero aggregation runs the XLA segment path (per-relation fused
+    kernel plans are not yet stacked per device — single-chip environment
+    cannot measure the multi-chip fused path anyway).
     """
 
     def __init__(self, *args, partitions: int = 0, **kwargs):
@@ -193,8 +197,12 @@ class PartitionedRMagConfig(RMagConfig):
                 x_loc = tp.scatter(np.asarray(hg.nodes[t]))
                 x_stack[t] = np.pad(
                     x_loc, ((0, 0), (0, tp.n_ext - tp.n_local), (0, 0)))
-        hg_stack = jax.tree.map(jnp.asarray,
-                                plan.extended_hetero_graph(x_stack))
+        # hg.nodes is never read by the distributed net (features flow
+        # through the explicit x/emb step arguments) — hold zero-width
+        # placeholders so mag-scale features are not duplicated in HBM
+        hg_stack = jax.tree.map(jnp.asarray, plan.extended_hetero_graph(
+            {t: np.zeros(v.shape[:2] + (0,), np.float32)
+             for t, v in x_stack.items()}))
         pp = plan.types["paper"]
         n_paper = hg.num_nodes("paper")
         y = np.zeros(n_paper, np.int32)
@@ -246,7 +254,9 @@ class PartitionedRMagConfig(RMagConfig):
                 jax.random.fold_in(rng, i + 1),
                 (n_t, data["in_features"]), jnp.float32)
             emb[t] = jnp.asarray(tp.scatter(np.asarray(table)))
-        emb_tx = optax.adam(float(hparams.get("lr", 0.01)))
+        from egc_tpu.train.optim import make_optimizer
+        emb_tx = make_optimizer(float(hparams.get("lr", 0.01)),
+                                float(hparams.get("wd", 0.0)))
         emb_opt = jax.vmap(emb_tx.init)(emb)
         self._emb_tx = emb_tx
 
@@ -263,13 +273,17 @@ class PartitionedRMagConfig(RMagConfig):
             tx=self.optimizer(hparams))
 
     def _get_steps(self, model):
-        if self._hsteps is None or self._hsteps_model != model:
+        # the jitted steps close over emb_tx/mesh/n_ext_map, so key the
+        # cache on those too (a later init_state builds a new emb_tx with
+        # the trial's lr/wd while the model dataclass compares equal)
+        key = (model, id(self._emb_tx), id(self._mesh))
+        if self._hsteps is None or self._hsteps_key != key:
             from egc_tpu.parallel.hetero_halo import (
                 build_hetero_partitioned_steps)
             data = self._last_data
             self._hsteps = build_hetero_partitioned_steps(
                 model, self._mesh, self._emb_tx, data["n_ext_map"])
-            self._hsteps_model = model
+            self._hsteps_key = key
         return self._hsteps
 
     def train(self, model, state, data, rng, iteration: int):
@@ -277,6 +291,12 @@ class PartitionedRMagConfig(RMagConfig):
         train_step, _ = self._get_steps(model)
         emb = state.batch_stats["emb"]
         emb_opt = state.batch_stats["emb_opt"]
+        # plateau decays adjust the conv optimizer's lr via set_lr; mirror
+        # the current value into the (sharded) embedding optimizer state
+        from egc_tpu.train.optim import get_lr
+        lr_now = get_lr(state.opt_state)
+        emb_opt.hyperparams["learning_rate"] = jnp.full_like(
+            emb_opt.hyperparams["learning_rate"], lr_now)
         slim = state.replace(batch_stats={})
         slim, new_emb, new_opt, loss = train_step(
             slim, emb, emb_opt, data["hetero"], data["x_stack"],

@@ -157,6 +157,8 @@ def partition_hetero(num_nodes: Dict[str, int],
     owner_union = np.empty(total, np.int64)
     for i, t in enumerate(types):
         t_order = order[type_of[order] == i]
+        if not len(t_order):   # zero-node type: nothing to assign
+            continue
         cw = np.cumsum(in_deg[t_order] + 1)
         bounds = cw[-1] * (np.arange(1, num_parts) / num_parts)
         cuts = np.searchsorted(cw, bounds)

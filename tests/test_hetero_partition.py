@@ -153,8 +153,9 @@ def test_hetero_partitioned_train_step_matches_single_device():
     tmask = np.zeros(n_paper, bool)
     tmask[raw["train_idx"]] = True
 
-    lr = 0.05
-    tx = optax.adam(lr)
+    lr, wd = 0.05, 1e-3
+    from egc_tpu.train.optim import make_optimizer
+    tx = make_optimizer(lr, wd)   # L2-into-grad Adam, the production tx
 
     # single-device reference step over ALL params (incl. embeddings)
     def ref_loss(params):
@@ -178,7 +179,7 @@ def test_hetero_partitioned_train_step_matches_single_device():
     from egc_tpu.train.state import TrainState
     state = TrainState.create(params=dvars["params"], batch_stats={},
                               tx=tx)
-    emb_tx = optax.adam(lr)
+    emb_tx = make_optimizer(lr, wd)
     emb_opt = jax.vmap(emb_tx.init)(emb)
     pp = plan.types["paper"]
     y_loc = jnp.asarray(pp.scatter(y))
@@ -222,7 +223,7 @@ def test_partitioned_rmag_config_end_to_end():
     cfg.load_hetero = lambda: synthetic.synthetic_rmag(
         num_paper=300, num_author=150, num_inst=20, num_fos=30,
         num_classes=6, num_features=32, seed=4)
-    hp = {"lr": 0.01, "wd": 0.0, "dropout": 0.2}
+    hp = {"lr": 0.01, "wd": 1e-4, "dropout": 0.2}
     res = run_trial(cfg, hp, seed=0, max_iterations=25, patience=100,
                     verbose=False)
     accs = [h["val_acc"] for h in res["history"]]
