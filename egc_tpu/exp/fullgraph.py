@@ -305,9 +305,15 @@ class PartitionedArxivConfig(ArxivConfig):
             m[raw[f"{split}_idx"]] = True
             masks[split] = jnp.asarray(plan.scatter_nodes(m))
         self._mesh = make_mesh({"graph": self.partitions})
+        # fused Pallas aggregation inside the shard_map steps (stacked
+        # per-device plans); requires the explicit-psum step variant
+        kplans = (plan.build_kernel_plans()
+                  if _jax.default_backend() == "tpu" else None)
+        self._check_vma = kplans is None
         data = {
             "plan": plan,
-            "graph": jax.tree.map(jnp.asarray, plan.extended_graph(x_ext)),
+            "graph": jax.tree.map(jnp.asarray,
+                                  plan.extended_graph(x_ext, kplans)),
             "send_idx": jnp.asarray(plan.send_idx),
             "y": jnp.asarray(plan.scatter_nodes(raw["y"])),
             "masks": masks,
@@ -338,8 +344,9 @@ class PartitionedArxivConfig(ArxivConfig):
         self._last_pdata = data
         model = self.model(hparams)   # rebuild with data metadata
         self._model_obj = model
-        variables = init_partitioned(model, self._mesh, data["graph"],
-                                     data["send_idx"], self.rng(seed))
+        variables = init_partitioned(
+            model, self._mesh, data["graph"], data["send_idx"],
+            self.rng(seed), check_vma=getattr(self, "_check_vma", True))
         return TrainState.create(params=variables["params"],
                                  batch_stats=variables.get("batch_stats", {}),
                                  tx=self.optimizer(hparams))
@@ -349,7 +356,9 @@ class PartitionedArxivConfig(ArxivConfig):
 
         model = getattr(self, "_model_obj", model)
         if self._pstep is None or self._pstep_model != model:
-            self._pstep = make_partitioned_train_step(model, self._mesh)
+            self._pstep = make_partitioned_train_step(
+                model, self._mesh,
+                check_vma=getattr(self, "_check_vma", True))
             self._pstep_model = model
         state, loss = self._pstep(
             state, data["graph"], data["send_idx"], data["y"],
@@ -362,7 +371,9 @@ class PartitionedArxivConfig(ArxivConfig):
         model = getattr(self, "_model_obj", model)
         if self._eval_step is None or \
                 getattr(self, "_eval_model", None) != model:
-            self._eval_step = make_partitioned_eval_step(model, self._mesh)
+            self._eval_step = make_partitioned_eval_step(
+                model, self._mesh,
+                check_vma=getattr(self, "_check_vma", True))
             self._eval_model = model
         out = self._eval_step(state, data["graph"], data["send_idx"])
         plan = data["plan"]

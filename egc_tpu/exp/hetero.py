@@ -164,10 +164,10 @@ class PartitionedRMagConfig(RMagConfig):
     (L2-into-grad Adam, and ``train`` re-syncs its lr from the conv
     optimizer each step so plateau decays apply to both). Same hook
     surface as RMagConfig. Numerics equal the single-device config
-    (tests/test_hetero_partition.py). Known limitation: the partitioned
-    hetero aggregation runs the XLA segment path (per-relation fused
-    kernel plans are not yet stacked per device — single-chip environment
-    cannot measure the multi-chip fused path anyway).
+    (tests/test_hetero_partition.py), including the fused path: on TPU
+    the per-relation aggregation runs stacked per-device bipartite Pallas
+    plans inside shard_map (check_vma=False steps with explicit psums —
+    see parallel.hetero_halo).
     """
 
     def __init__(self, *args, partitions: int = 0, **kwargs):
@@ -199,10 +199,15 @@ class PartitionedRMagConfig(RMagConfig):
                     x_loc, ((0, 0), (0, tp.n_ext - tp.n_local), (0, 0)))
         # hg.nodes is never read by the distributed net (features flow
         # through the explicit x/emb step arguments) — hold zero-width
-        # placeholders so mag-scale features are not duplicated in HBM
+        # placeholders so mag-scale features are not duplicated in HBM.
+        # On TPU, attach stacked per-relation fused-kernel plans (the
+        # steps then run check_vma=False with explicit psums).
+        kplans = (plan.build_kernel_plans()
+                  if jax.default_backend() == "tpu" else None)
+        self._check_vma = kplans is None
         hg_stack = jax.tree.map(jnp.asarray, plan.extended_hetero_graph(
             {t: np.zeros(v.shape[:2] + (0,), np.float32)
-             for t, v in x_stack.items()}))
+             for t, v in x_stack.items()}, kplans))
         pp = plan.types["paper"]
         n_paper = hg.num_nodes("paper")
         y = np.zeros(n_paper, np.int32)
@@ -266,7 +271,8 @@ class PartitionedRMagConfig(RMagConfig):
             x_with_emb[t] = extend_local(emb[t], data["n_ext_map"][t])
         variables = init_hetero_partitioned(
             model, self._mesh, data["hetero"], x_with_emb,
-            data["send_idx"], rng)
+            data["send_idx"], rng,
+            check_vma=getattr(self, "_check_vma", True))
         return TrainState.create(
             params=variables["params"],
             batch_stats={"emb": emb, "emb_opt": emb_opt},
@@ -282,7 +288,8 @@ class PartitionedRMagConfig(RMagConfig):
                 build_hetero_partitioned_steps)
             data = self._last_data
             self._hsteps = build_hetero_partitioned_steps(
-                model, self._mesh, self._emb_tx, data["n_ext_map"])
+                model, self._mesh, self._emb_tx, data["n_ext_map"],
+                check_vma=getattr(self, "_check_vma", True))
             self._hsteps_key = key
         return self._hsteps
 

@@ -261,24 +261,41 @@ def build_bipartite_kernel_plan(
     fwd_window_rows: int = 4096,
     bwd_block_rows: int = 4096,
     bwd_window_rows: int = 1024,
+    keep_masked_edges: bool = False,
 ) -> BipartiteKernelPlan:
     """Host-side per-relation plan (static per hetero dataset).
 
-    Masked edges are DROPPED (plans carry their own edge arrays; hetero
-    full-graph tasks never re-batch, so no static edge budget is needed).
+    Masked edges are DROPPED by default (plans carry their own edge
+    arrays; hetero full-graph tasks never re-batch, so no static edge
+    budget is needed). ``keep_masked_edges`` instead REDIRECTS them to
+    shadow src/dst rows beyond every real row (same contract as
+    ``build_kernel_plan``) so edge-array shapes stay equal across
+    same-budget graphs — required for stacking per-device plans for
+    shard_map (parallel.hetero_partition).
     """
     senders = np.asarray(senders)
     receivers = np.asarray(receivers)
-    if edge_mask is not None:
-        edge_mask = np.asarray(edge_mask)
-        senders = senders[edge_mask]
-        receivers = receivers[edge_mask]
 
     def round_up(x, m):
         return ((x + m - 1) // m) * m
 
+    if keep_masked_edges:
+        # reserve shadow rows (num+1 before rounding guarantees the last
+        # padded row is beyond every real row)
+        num_src += 1
+        num_dst += 1
     n_src_pad = round_up(num_src, max(fwd_window_rows, bwd_block_rows))
     n_dst_pad = round_up(num_dst, max(fwd_block_rows, bwd_window_rows))
+    if edge_mask is not None:
+        edge_mask = np.asarray(edge_mask)
+        if keep_masked_edges:
+            senders = np.where(edge_mask, senders,
+                               n_src_pad - 1).astype(np.int32)
+            receivers = np.where(edge_mask, receivers,
+                                 n_dst_pad - 1).astype(np.int32)
+        else:
+            senders = senders[edge_mask]
+            receivers = receivers[edge_mask]
     fplan = make_window_plan_np(
         senders, receivers, n_src_pad, block_rows=fwd_block_rows,
         window_rows=fwd_window_rows, num_out_nodes=n_dst_pad)

@@ -169,7 +169,12 @@ class DistributedNodeClassifier(nn.Module):
     @nn.compact
     def __call__(self, g: Graph, send_idx, *, train: bool):
         refresh = lambda h: halo_refresh(h, send_idx, self.axis)  # noqa: E731
-        overlap = self.conv.kind == "egc" and self.e_interior is not None
+        # When the partitioned graph carries stacked fused-kernel plans,
+        # the generic conv path (conv_aggregate -> Pallas) beats the
+        # overlapped-XLA schedule: the fused sweeps are ~5x faster than
+        # XLA while the overlap only hides ~2 ms of all_to_all.
+        overlap = (self.conv.kind == "egc" and self.e_interior is not None
+                   and getattr(g, "kernel_plan", None) is None)
         x = g.nodes
         if self.use_embed:
             x = _torch_dense(self.hidden_dim, self.num_features,
@@ -207,7 +212,7 @@ class DistributedNodeClassifier(nn.Module):
 
 
 def init_partitioned(model, mesh, graphs, send_idx, rng,
-                     axis: str = "graph"):
+                     axis: str = "graph", check_vma: bool = True):
     """Initialize a distributed model's variables inside the mesh context
     (the forward pass contains collectives, so a bare ``model.init`` outside
     shard_map would fail with an unbound axis name)."""
@@ -218,17 +223,29 @@ def init_partitioned(model, mesh, graphs, send_idx, rng,
 
     fn = _shard_map(sharded, mesh=mesh,
                     in_specs=(P(axis), P(axis)), out_specs=P(),
-                    check_vma=True)
+                    check_vma=check_vma)
     return jax.jit(fn)(graphs, send_idx)
 
 
-def make_partitioned_train_step(model, mesh, axis: str = "graph"):
+def make_partitioned_train_step(model, mesh, axis: str = "graph",
+                                check_vma: bool = True):
     """Jitted partitioned full-graph train step.
 
     Inputs (stacked leading partition axis, sharded over ``axis``):
     graph (extended local Graph), send_idx [P, P, H], labels [P, n_local],
     train_mask [P, n_local]; state replicated. NLL loss over global train
     nodes; gradients psum'd.
+
+    ``check_vma=False`` is REQUIRED when the graph carries fused kernel
+    plans (Pallas calls have no vma types). Transpose semantics differ in
+    the unchecked world: a psum INSIDE the differentiated loss
+    double-counts (its unchecked transpose is psum again), so this
+    variant differentiates the LOCAL unnormalized sum — under which the
+    sync-BN psums in the forward transpose correctly (classic pmap
+    convention: total objective = sum over devices, grads psum'd after) —
+    then psums the gradients and divides by the global mask count.
+    Numerically identical to the checked path
+    (tests/test_partition.py::test_partitioned_fused_*).
     """
 
     def sharded(state, graphs, send_idx, labels, train_mask, rng):
@@ -247,26 +264,38 @@ def make_partitioned_train_step(model, mesh, axis: str = "graph"):
             n_local = y.shape[0]
             nll = -gather_label_scores(out[:n_local], y)
             m = mask.astype(out.dtype)
-            s = jax.lax.psum(jnp.sum(nll * m), axis)
-            c = jax.lax.psum(jnp.sum(m), axis)
-            return s / jnp.maximum(c, 1.0), mutated["batch_stats"]
+            s_local = jnp.sum(nll * m)
+            c_local = jnp.sum(m)
+            if check_vma:
+                s = jax.lax.psum(s_local, axis)
+                c = jax.lax.psum(c_local, axis)
+                return s / jnp.maximum(c, 1.0), (mutated["batch_stats"],
+                                                 c_local)
+            return s_local, (mutated["batch_stats"], c_local)
 
-        # NOTE: no explicit grad psum — see dp.py note (check_vma handles
-        # the cross-device reduction in the transpose).
-        (loss, bs), grads = jax.value_and_grad(
+        # NOTE: under check_vma=True no explicit grad psum — see dp.py
+        # note (the checked transpose inserts it); under check_vma=False
+        # the local-sum gradients are psum'd and normalized here.
+        (loss, (bs, c_local)), grads = jax.value_and_grad(
             loss_wrapped, has_aux=True)(state.params)
+        if not check_vma:
+            c = jnp.maximum(jax.lax.psum(c_local, axis), 1.0)
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, axis) / c,
+                                 grads)
+            loss = jax.lax.psum(loss, axis) / c
         return state.apply_gradients(grads, new_batch_stats=bs), loss
 
     step = _shard_map(
         sharded, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P()),
-        check_vma=True,
+        check_vma=check_vma,
     )
     return jax.jit(step)
 
 
-def make_partitioned_eval_step(model, mesh, axis: str = "graph"):
+def make_partitioned_eval_step(model, mesh, axis: str = "graph",
+                               check_vma: bool = True):
     """Returns per-partition log-probs [P, n_ext, C] (owned rows valid)."""
 
     def sharded(state, graphs, send_idx):
@@ -280,6 +309,6 @@ def make_partitioned_eval_step(model, mesh, axis: str = "graph"):
         sharded, mesh=mesh,
         in_specs=(P(), P(axis), P(axis)),
         out_specs=P(axis),
-        check_vma=True,
+        check_vma=check_vma,
     )
     return jax.jit(step)

@@ -75,7 +75,7 @@ def extend_local(x_local, n_ext: int):
 
 
 def init_hetero_partitioned(model, mesh, hg_stack, x_stack, send_idx, rng,
-                            axis: str = "graph"):
+                            axis: str = "graph", check_vma: bool = True):
     def sharded(hg_, x_, sidx_):
         hg = jax.tree.map(lambda a: a[0], hg_)
         x = {t: v[0] for t, v in x_.items()}
@@ -84,12 +84,13 @@ def init_hetero_partitioned(model, mesh, hg_stack, x_stack, send_idx, rng,
 
     fn = _shard_map(sharded, mesh=mesh,
                     in_specs=(P(axis), P(axis), P(axis)), out_specs=P(),
-                    check_vma=True)
+                    check_vma=check_vma)
     return jax.jit(fn)(hg_stack, x_stack, send_idx)
 
 
 def build_hetero_partitioned_steps(model, mesh, emb_tx, n_ext_map,
-                                   axis: str = "graph"):
+                                   axis: str = "graph",
+                                   check_vma: bool = True):
     """Returns (train_step, eval_step) jitted over ``mesh``.
 
     ``state`` (replicated) holds the conv/head parameters; ``emb`` /
@@ -99,8 +100,14 @@ def build_hetero_partitioned_steps(model, mesh, emb_tx, n_ext_map,
     optax leaf (including scalar step counts) carries the leading P axis
     the sharding specs expect. ``n_ext_map``: static {type: n_ext} for the
     embedding types (pads local rows to the extended layout in-step).
-    Conv gradients are psum'd by the ``check_vma`` transpose (replicated
-    params); embedding gradients are device-local rows and stay local.
+    Under ``check_vma=True``, conv gradients are psum'd by the checked
+    transpose (replicated params) and embedding gradients stay local.
+    ``check_vma=False`` is required when the graph carries fused
+    per-relation kernel plans (Pallas has no vma types); the loss is then
+    the LOCAL unnormalized sum (a psum inside the differentiated loss
+    double-counts in the unchecked transpose — see
+    ``make_partitioned_train_step``), conv grads are psum'd explicitly,
+    and both grad sets are normalized by the global mask count.
     """
 
     def train_sharded(state, emb, emb_opt, hg_stack, x_stack, send_idx,
@@ -122,12 +129,21 @@ def build_hetero_partitioned_steps(model, mesh, emb_tx, n_ext_map,
             n_local = y.shape[0]
             nll = -gather_label_scores(out[:n_local], y)
             m = mask.astype(out.dtype)
-            s = jax.lax.psum(jnp.sum(nll * m), axis)
-            c = jax.lax.psum(jnp.sum(m), axis)
-            return s / jnp.maximum(c, 1.0)
+            s_local = jnp.sum(nll * m)
+            if check_vma:
+                s = jax.lax.psum(s_local, axis)
+                c = jax.lax.psum(jnp.sum(m), axis)
+                return s / jnp.maximum(c, 1.0)
+            return s_local
 
         loss, (gp, ge) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             state.params, emb_local)
+        if not check_vma:
+            c = jnp.maximum(
+                jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), axis), 1.0)
+            gp = jax.tree.map(lambda g: jax.lax.psum(g, axis) / c, gp)
+            ge = jax.tree.map(lambda g: g / c, ge)
+            loss = jax.lax.psum(loss, axis) / c
         new_state = state.apply_gradients(gp)
         upd, new_opt = emb_tx.update(ge, emb_opt_local, emb_local)
         new_emb = optax.apply_updates(emb_local, upd)
@@ -139,7 +155,7 @@ def build_hetero_partitioned_steps(model, mesh, emb_tx, n_ext_map,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
                   P(axis), P(axis), P()),
         out_specs=(P(), P(axis), P(axis), P()),
-        check_vma=True)
+        check_vma=check_vma)
 
     def eval_sharded(state, emb, hg_stack, x_stack, send_idx):
         hg = jax.tree.map(lambda a: a[0], hg_stack)
@@ -155,6 +171,6 @@ def build_hetero_partitioned_steps(model, mesh, emb_tx, n_ext_map,
         eval_sharded, mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=P(axis),
-        check_vma=True)
+        check_vma=check_vma)
 
     return jax.jit(train), jax.jit(evalf)
