@@ -413,22 +413,63 @@ class SampledMagConfig(MagConfig):
         n = raw["x"].shape[0]
         sampler = NeighborSampler(raw["senders"], raw["receivers"], n,
                                   fanouts=self.fanouts)
+        # Feature rows are gathered ON DEVICE from the HBM-resident full
+        # matrix — the per-batch transfer is the gid list, not tens of MB
+        # of gathered features (10.9x epoch at mag scale) — and prefetch
+        # threads overlap the vectorized sampling with device steps
+        # (another 1.4x). Per-batch fused-kernel plans measured a net
+        # LOSS here (random gid order -> ~1.5 edges per window cell, the
+        # kernels' degenerate regime, plus plan-array transfer), so the
+        # sampled step stays on XLA segment ops: scripts/bench_sampled.py.
+        on_tpu = jax.default_backend() == "tpu"
         loaders = {}
         for split in ("train", "val", "test"):
             import zlib
             loaders[split] = SampledNodeLoader(
                 sampler, raw["x"], raw["y"], raw[f"{split}_idx"],
                 self.batch_size, shuffle=(split == "train"),
-                rng_seed=zlib.crc32(split.encode()) % (2 ** 31))
+                rng_seed=zlib.crc32(split.encode()) % (2 ** 31),
+                prefetch=4 if on_tpu else 0,
+                gather_on_device=True)
         self._avg_log_deg = 1.0
         # deterministic full-graph eval data (reference metric protocol)
         full = full_graph_to_device_dict(raw)
         return {"loaders": loaders, "num_classes": raw["num_classes"],
+                "x_full": jnp.asarray(raw["x"]),
                 "full": full}
 
+    def _sampled_steps(self, model):
+        cache = getattr(self, "_sampled_cache", None)
+        if cache is None:
+            cache = self._sampled_cache = {}
+        if model not in cache:
+            loss_fn = self.loss_fn
+
+            @jax.jit
+            def step(state, graph, gids, x_full, y, rng):
+                graph = graph.replace(
+                    nodes=jnp.take(x_full, gids, axis=0))
+
+                def loss_wrapped(params):
+                    out, mutated = model.apply(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        graph, train=True, rngs={"dropout": rng},
+                        mutable=["batch_stats"])
+                    return loss_fn(out, y, graph), \
+                        mutated.get("batch_stats", state.batch_stats)
+
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_wrapped, has_aux=True)(state.params)
+                return state.apply_gradients(grads, new_batch_stats=bs), loss
+
+            cache[model] = step
+        return cache[model]
+
     def init_state(self, model, hparams, data, seed: int) -> TrainState:
-        g, _, _ = next(iter(data["loaders"]["val"]))
+        g, _, _, gids = next(iter(data["loaders"]["val"]))
         g = jax.tree.map(jnp.asarray, g)
+        g = g.replace(nodes=jnp.take(data["x_full"], jnp.asarray(gids),
+                                     axis=0))
         variables = jax.jit(model.init, static_argnames=("train",))(
             self.rng(seed), g, train=False)
         return TrainState.create(params=variables["params"],
@@ -436,12 +477,14 @@ class SampledMagConfig(MagConfig):
                                  tx=self.optimizer(hparams))
 
     def train(self, model, state, data, rng, iteration: int):
-        step, _ = self._steps(model)
+        step = self._sampled_steps(model)
         total, batches = 0.0, 0
-        for i, (g, yb, seed_mask) in enumerate(data["loaders"]["train"]):
+        for i, (g, yb, seed_mask, gids) in enumerate(
+                data["loaders"]["train"]):
             g = jax.tree.map(jnp.asarray, g)
             state, loss = step(
-                state, g, (jnp.asarray(yb), jnp.asarray(seed_mask)),
+                state, g, jnp.asarray(gids), data["x_full"],
+                (jnp.asarray(yb), jnp.asarray(seed_mask)),
                 jax.random.fold_in(jax.random.fold_in(rng, iteration), i))
             total += float(loss)
             batches += 1

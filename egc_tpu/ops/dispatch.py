@@ -123,6 +123,7 @@ def build_kernel_plan(
     has_padding_row: bool = False,
     keep_masked_edges: bool = False,
     edge_weight: Optional[np.ndarray] = None,
+    to_device: bool = True,
 ) -> GraphKernelPlan:
     """Host-side plan builder (call once per static graph).
 
@@ -140,6 +141,10 @@ def build_kernel_plan(
     forward aggregates and, through the max/min tie VJP, amplify any
     nonzero pad-row cotangent by the duplicate count — enough to NaN a
     training run within one epoch.)
+
+    ``to_device=False`` keeps plan leaves as numpy (loader prefetch
+    threads must not issue device puts — the caller's single
+    ``jax.tree.map(jnp.asarray, ...)`` moves everything at once).
     """
     align = max(fwd_block_rows, fwd_window_rows, bwd_block_rows,
                 bwd_window_rows, bwd_narrow_window_rows or 0)
@@ -208,16 +213,18 @@ def build_kernel_plan(
     deg = np.zeros(n_pad, np.float32)
     np.add.at(deg, receivers, 1.0)
 
+    _as = jnp.asarray if to_device else np.asarray
+
     def to_dev(p):
         ew = None
         if edge_weight is not None:
-            ew = jnp.asarray(
+            ew = _as(
                 np.asarray(edge_weight)[kept[p["perm"]]].astype(np.float32))
         return WindowPlanDev(
-            senders=jnp.asarray(p["senders"]),
-            receivers=jnp.asarray(p["receivers"]),
-            cell_ptr=jnp.asarray(p["cell_ptr"]),
-            edge_perm=jnp.asarray(kept[p["perm"]].astype(np.int32)),
+            senders=_as(p["senders"]),
+            receivers=_as(p["receivers"]),
+            cell_ptr=_as(p["cell_ptr"]),
+            edge_perm=_as(kept[p["perm"]].astype(np.int32)),
             edge_w=ew,
             r_blocks=p["R"], s_blocks=p["S"],
             block_rows=p["block_rows"], window_rows=p["window_rows"])
@@ -232,7 +239,7 @@ def build_kernel_plan(
                 dev_fwd if fplan_v2 is fplan else to_dev(fplan_v2)),
         bwd_v2=(None if bplan_v2 is None else
                 dev_bwd if bplan_v2 is bplan else to_dev(bplan_v2)),
-        deg=jnp.asarray(deg), n_pad=n_pad)
+        deg=_as(deg), n_pad=n_pad)
 
 
 @struct.dataclass

@@ -1,0 +1,119 @@
+"""Sampled-MAG training-epoch benchmark: fused plans + prefetch threads.
+
+Measures a mag-scale synthetic sampled training epoch three ways:
+synchronous XLA (round-1 behavior), plans without prefetch (host plan
+cost exposed), plans + 4 prefetch threads (production path). Also times
+the vectorized sampler alone.
+
+Run: env PYTHONPATH=/root/repo:/root/.axon_site python -u \
+    scripts/bench_sampled.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egc_tpu.data import synthetic
+from egc_tpu.data.sampling import NeighborSampler, SampledNodeLoader
+from egc_tpu.models.nets import ConvSpec, ArxivNet
+from egc_tpu.train.optim import make_optimizer
+from egc_tpu.train.state import TrainState
+
+
+def main():
+    raw = synthetic.synthetic_full_graph(
+        num_nodes=500_000, avg_degree=12, num_classes=40, num_features=128,
+        seed=0)
+    n = raw["x"].shape[0]
+    sampler = NeighborSampler(raw["senders"], raw["receivers"], n,
+                              fanouts=(15, 10), seed=0)
+    seeds = raw["train_idx"][:16 * 1024]
+
+    t0 = time.time()
+    for i in range(4):
+        sampler.sample(seeds[i * 1024:(i + 1) * 1024])
+    print(f"sampler: {(time.time()-t0)/4*1e3:.1f} ms / 1024-seed batch",
+          flush=True)
+
+    net = ArxivNet(conv=ConvSpec(kind="egc", heads=4, bases=4,
+                                 aggrs=("symnorm", "max", "mean")),
+                   hidden_dim=128, num_layers=2, dropout=0.0,
+                   residual=True, num_features=128, num_classes=40)
+
+    x_full = jnp.asarray(raw["x"])
+
+    def run_epoch(kernel_plans, prefetch, tag, dev_gather=True):
+        loader = SampledNodeLoader(sampler, raw["x"], raw["y"], seeds,
+                                   batch_size=1024, shuffle=True,
+                                   rng_seed=1, kernel_plans=kernel_plans,
+                                   prefetch=prefetch,
+                                   gather_on_device=dev_gather)
+        item0 = next(iter(loader))
+        g0, y0, m0 = item0[:3]
+        g0j = jax.tree.map(jnp.asarray, g0)
+        if dev_gather:
+            g0j = g0j.replace(nodes=jnp.take(x_full, jnp.asarray(item0[3]),
+                                             axis=0))
+        variables = jax.jit(net.init, static_argnames=("train",))(
+            jax.random.key(0), g0j, train=False)
+        state = TrainState.create(params=variables["params"],
+                                  batch_stats=variables["batch_stats"],
+                                  tx=make_optimizer(1e-2, 0.0))
+
+        @jax.jit
+        def step(state, g, gids, y, m, rng):
+            if gids is not None:
+                g = g.replace(nodes=jnp.take(x_full, gids, axis=0))
+            def loss_fn(params, bs):
+                out, mut = net.apply(
+                    {"params": params, "batch_stats": bs}, g, train=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"])
+                y1h = jax.nn.one_hot(y, 40)
+                nll = -jnp.sum(out * y1h, axis=1)
+                mm = m.astype(out.dtype)
+                return jnp.sum(nll * mm) / jnp.maximum(jnp.sum(mm), 1.0), \
+                    mut["batch_stats"]
+
+            (loss, bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats)
+            return state.apply_gradients(grads, new_batch_stats=bs), loss
+
+        # warm the jit (g0j already has gathered nodes -> pass gids=None
+        # would retrace; warm with the real signature instead)
+        t0 = time.time()
+        nb = 0
+        for item in loader:
+            g, y, m = item[:3]
+            gids = jnp.asarray(item[3]) if dev_gather else None
+            if dev_gather:
+                g = g.replace(nodes=np.zeros((g.nodes.shape[0], 0),
+                                             np.float32))
+            g = jax.tree.map(jnp.asarray, g)
+            state, loss = step(state, g, gids, jnp.asarray(y),
+                               jnp.asarray(m), jax.random.key(nb))
+            if nb == 0:
+                jax.block_until_ready(state)
+                t0 = time.time()   # exclude compile
+            nb += 1
+        jax.block_until_ready(state)
+        dt = time.time() - t0
+        timed = max(nb - 1, 1)    # batch 0 excluded (compile)
+        print(f"{tag}: epoch {dt:.2f}s ({dt/timed*1e3:.1f} ms/batch, "
+              f"{timed} timed batches) loss={float(loss):.3f}", flush=True)
+
+    import sys
+    if "quick" in sys.argv:
+        run_epoch(False, 0, "XLA devgather sync   ")
+        run_epoch(False, 4, "XLA devgather pre4   ")
+    else:
+        run_epoch(False, 0, "XLA host-gather sync ", dev_gather=False)
+        run_epoch(False, 0, "XLA devgather sync   ")
+        run_epoch(False, 4, "XLA devgather pre4   ")
+        run_epoch(True, 0, "plans devgather sync ")
+        run_epoch(True, 4, "plans devgather pre4 ")
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,36 @@ def test_sampled_mag_config_end_to_end():
                     verbose=False)
     accs = [h["val_acc"] for h in res["history"]]
     assert max(accs) > 0.35, accs
+
+
+def test_sampled_loader_prefetch_matches_sync_and_plans_static():
+    raw = synthetic.synthetic_full_graph(num_nodes=600, avg_degree=10,
+                                         num_classes=5, num_features=8,
+                                         seed=4)
+    n = raw["x"].shape[0]
+    sampler = NeighborSampler(raw["senders"], raw["receivers"], n,
+                              fanouts=(6, 3))
+
+    def mk(prefetch, plans):
+        return SampledNodeLoader(sampler, raw["x"], raw["y"],
+                                 raw["train_idx"], batch_size=32,
+                                 shuffle=True, rng_seed=7,
+                                 kernel_plans=plans, prefetch=prefetch)
+
+    sync = list(mk(0, True))
+    pre = list(mk(3, True))
+    assert len(sync) == len(pre) > 1
+    shapes = None
+    for (g1, y1, m1), (g2, y2, m2) in zip(sync, pre):
+        # identical batches regardless of prefetch (per-batch rng streams)
+        np.testing.assert_array_equal(np.asarray(g1.senders),
+                                      np.asarray(g2.senders))
+        np.testing.assert_array_equal(y1, y2)
+        np.testing.assert_array_equal(m1, m2)
+        assert g1.kernel_plan is not None
+        # budget-static plan arrays: one jit compilation across batches
+        s = tuple(a.shape for a in jax.tree.leaves(g1.kernel_plan))
+        if shapes is None:
+            shapes = s
+        assert s == shapes
+        assert g1.nodes.shape[0] % SampledNodeLoader.PLAN_BLOCK == 0
