@@ -67,6 +67,7 @@ class GraphLoader:
         drop_last: bool = False,
         kernel_plans: bool = False,
         cache_limit_bytes: int = 4 << 30,
+        prefetch: int = 0,
     ):
         self.graphs = graphs
         self.batch_size = batch_size
@@ -76,6 +77,7 @@ class GraphLoader:
             graphs, batch_size,
             node_multiple=self.PLAN_BLOCK if kernel_plans else 8)
         self.kernel_plans = kernel_plans
+        self.prefetch = prefetch
         if kernel_plans and self.budget[0] % self.PLAN_BLOCK:
             raise ValueError(
                 f"kernel_plans needs node budget % {self.PLAN_BLOCK} == 0, "
@@ -96,6 +98,39 @@ class GraphLoader:
         return n // self.batch_size if self.drop_last else \
             (n + self.batch_size - 1) // self.batch_size
 
+    def _build(self, idx):
+        bn, be, bg = self.budget
+        batch = [self.graphs[i] for i in idx]
+        g, y = batch_np(batch, num_nodes=bn, num_edges=be, num_graphs=bg)
+        if self.kernel_plans:
+            from egc_tpu.ops.dispatch import build_kernel_plan
+            # keep_masked_edges keeps the plan's edge arrays
+            # budget-static while redirecting padded edges to a shadow
+            # block beyond the node budget, so they contribute exactly
+            # nothing to model rows in either pass (XLA-masked parity;
+            # conv_aggregate row-pads x up to plan.n_pad and slices).
+            # to_device=False: prefetch threads must not device-put; the
+            # consumer's tree.map(jnp.asarray) moves the batch at once
+            plan = build_kernel_plan(
+                np.asarray(g.senders), np.asarray(g.receivers), bn,
+                edge_mask=np.asarray(g.edge_mask),
+                keep_masked_edges=True,
+                fwd_block_rows=self.PLAN_BLOCK,
+                fwd_window_rows=self.PLAN_BLOCK,
+                bwd_block_rows=self.PLAN_BLOCK,
+                bwd_window_rows=self.PLAN_BLOCK,
+                bwd_narrow_window_rows=None, attention=False,
+                to_device=False)
+            g = g.replace(kernel_plan=plan)
+        return (g, y)
+
+    def _batches(self, order):
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start:start + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                return
+            yield idx
+
     def __iter__(self) -> Iterator[Tuple[Graph, np.ndarray]]:
         if self._cache_complete:
             yield from self._cache
@@ -106,40 +141,37 @@ class GraphLoader:
         order = np.arange(len(self.graphs))
         if self.shuffle:
             self._rng.shuffle(order)
-        bn, be, bg = self.budget
-        for start in range(0, len(order), self.batch_size):
-            idx = order[start:start + self.batch_size]
-            if self.drop_last and len(idx) < self.batch_size:
-                break
-            batch = [self.graphs[i] for i in idx]
-            g, y = batch_np(batch, num_nodes=bn, num_edges=be, num_graphs=bg)
-            if self.kernel_plans:
-                from egc_tpu.ops.dispatch import build_kernel_plan
-                # keep_masked_edges keeps the plan's edge arrays
-                # budget-static while redirecting padded edges to a shadow
-                # block beyond the node budget, so they contribute exactly
-                # nothing to model rows in either pass (XLA-masked parity;
-                # conv_aggregate row-pads x up to plan.n_pad and slices)
-                plan = build_kernel_plan(
-                    np.asarray(g.senders), np.asarray(g.receivers), bn,
-                    edge_mask=np.asarray(g.edge_mask),
-                    keep_masked_edges=True,
-                    fwd_block_rows=self.PLAN_BLOCK,
-                    fwd_window_rows=self.PLAN_BLOCK,
-                    bwd_block_rows=self.PLAN_BLOCK,
-                    bwd_window_rows=self.PLAN_BLOCK,
-                    bwd_narrow_window_rows=None, attention=False)
-                g = g.replace(kernel_plan=plan)
-            item = (g, y)
-            if self._cache is not None:
-                import jax
-                self._cache_bytes += sum(
-                    a.nbytes for a in jax.tree.leaves(item)
-                    if hasattr(a, "nbytes"))
-                if self._cache_bytes > self.cache_limit_bytes:
-                    self._cache = None      # too big: rebuild per epoch
-                else:
-                    self._cache.append(item)
-            yield item
+        if self.prefetch:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(self.prefetch) as ex:
+                futs = deque()
+                it = self._batches(order)
+                for idx in it:
+                    futs.append(ex.submit(self._build, idx))
+                    if len(futs) >= self.prefetch:
+                        break
+                while futs:
+                    item = futs.popleft().result()
+                    try:
+                        futs.append(ex.submit(self._build, next(it)))
+                    except StopIteration:
+                        pass
+                    yield self._maybe_cache(item)
+        else:
+            for idx in self._batches(order):
+                yield self._maybe_cache(self._build(idx))
         if self._cache is not None:
             self._cache_complete = True
+
+    def _maybe_cache(self, item):
+        if self._cache is not None:
+            import jax
+            self._cache_bytes += sum(
+                a.nbytes for a in jax.tree.leaves(item)
+                if hasattr(a, "nbytes"))
+            if self._cache_bytes > self.cache_limit_bytes:
+                self._cache = None          # too big: rebuild per epoch
+            else:
+                self._cache.append(item)
+        return item

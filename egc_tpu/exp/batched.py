@@ -108,6 +108,7 @@ class BatchedGraphConfig(ExperimentConfig):
         return {
             name: GraphLoader(graphs, bs, shuffle=(name == "train"),
                               budget=budget, kernel_plans=use_plans,
+                              prefetch=4 if use_plans else 0,
                               seed=zlib.crc32(name.encode()) % (2 ** 31))
             for name, graphs in splits.items()
         }

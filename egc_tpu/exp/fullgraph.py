@@ -478,7 +478,7 @@ class SampledMagConfig(MagConfig):
 
     def train(self, model, state, data, rng, iteration: int):
         step = self._sampled_steps(model)
-        total, batches = 0.0, 0
+        losses = []     # device-side until epoch end (keep dispatch async)
         for i, (g, yb, seed_mask, gids) in enumerate(
                 data["loaders"]["train"]):
             g = jax.tree.map(jnp.asarray, g)
@@ -486,9 +486,9 @@ class SampledMagConfig(MagConfig):
                 state, g, jnp.asarray(gids), data["x_full"],
                 (jnp.asarray(yb), jnp.asarray(seed_mask)),
                 jax.random.fold_in(jax.random.fold_in(rng, iteration), i))
-            total += float(loss)
-            batches += 1
-        return state, {"train_loss": total / max(batches, 1)}
+            losses.append(loss)
+        mean = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        return state, {"train_loss": mean}
 
     def val(self, model, state, data):
         # full-graph deterministic evaluation (reference mag/configs.py:34);

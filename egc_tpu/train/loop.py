@@ -48,15 +48,21 @@ def make_eval_step(model):
 
 
 def train_epoch(step_fn, state: TrainState, loader: Iterable, rng):
-    """One pass over the loader; returns (state, mean masked loss)."""
-    total, batches = 0.0, 0
+    """One pass over the loader; returns (state, mean masked loss).
+
+    Losses stay on device until the epoch ends — a per-batch ``float()``
+    would sync the host to every step and serialize the input pipeline
+    against device execution (loader prefetch threads rely on async
+    dispatch)."""
+    losses = []
     for i, (graph, y) in enumerate(loader):
         graph = jax.tree.map(jnp.asarray, graph)
         y = jnp.asarray(y)
         state, loss = step_fn(state, graph, y, jax.random.fold_in(rng, i))
-        total += float(loss)
-        batches += 1
-    return state, total / max(batches, 1)
+        losses.append(loss)
+    if not losses:
+        return state, 0.0
+    return state, float(jnp.mean(jnp.stack(losses)))
 
 
 def eval_epoch(eval_fn, state: TrainState, loader: Iterable,
