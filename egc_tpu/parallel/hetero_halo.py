@@ -130,17 +130,17 @@ def build_hetero_partitioned_steps(model, mesh, emb_tx, n_ext_map,
             nll = -gather_label_scores(out[:n_local], y)
             m = mask.astype(out.dtype)
             s_local = jnp.sum(nll * m)
+            c_local = jnp.sum(m)
             if check_vma:
                 s = jax.lax.psum(s_local, axis)
-                c = jax.lax.psum(jnp.sum(m), axis)
-                return s / jnp.maximum(c, 1.0)
-            return s_local
+                c = jax.lax.psum(c_local, axis)
+                return s / jnp.maximum(c, 1.0), c_local
+            return s_local, c_local
 
-        loss, (gp, ge) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-            state.params, emb_local)
+        (loss, c_local), (gp, ge) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, emb_local)
         if not check_vma:
-            c = jnp.maximum(
-                jax.lax.psum(jnp.sum(mask.astype(jnp.float32)), axis), 1.0)
+            c = jnp.maximum(jax.lax.psum(c_local, axis), 1.0)
             gp = jax.tree.map(lambda g: jax.lax.psum(g, axis) / c, gp)
             ge = jax.tree.map(lambda g: g / c, ge)
             loss = jax.lax.psum(loss, axis) / c

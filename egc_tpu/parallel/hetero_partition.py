@@ -131,9 +131,12 @@ class HeteroPartitionPlan:
         for key, rp in self.rels.items():
             src, _, dst = split_rel_key(key)
             sp, dp = self.types[src], self.types[dst]
+            # num_dst must cover the EXTENDED dst space: the conv slices
+            # the fused output to hg.num_nodes(dst) = n_ext (halo rows are
+            # garbage-but-present there, exactly like the XLA path)
             per_dev = [build_bipartite_kernel_plan(
                 rp.senders_ext[p], rp.receivers_loc[p], sp.n_ext,
-                dp.n_local, edge_mask=rp.edge_mask[p],
+                dp.n_ext, edge_mask=rp.edge_mask[p],
                 keep_masked_edges=True)
                 for p in range(self.num_parts)]
             plans[key] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_dev)

@@ -98,7 +98,7 @@ class PartitionPlan:
             kernel_plan=kernel_plan,
         )
 
-    def build_kernel_plans(self, *, attention: bool = True):
+    def build_kernel_plans(self, *, attention: bool = False):
         """Stacked per-device fused-kernel plans [P, ...] over the
         extended node space — attach via ``extended_graph(...,
         kernel_plan=...)`` and the conv layers' ``conv_aggregate`` runs
@@ -107,7 +107,11 @@ class PartitionPlan:
         identical across devices by construction, so stacking is safe).
         NOTE: the steps must then be built with ``check_vma=False``
         (Pallas calls do not carry vma types); see
-        ``make_partitioned_train_step``."""
+        ``make_partitioned_train_step``. ``attention`` defaults OFF: the
+        fused attention wrappers gate on ``n == plan.n_pad`` and the
+        extended node count is always < n_pad here, so attention layouts
+        would be dead weight — partitioned attention runs the XLA path
+        (relaxing that gate with row padding is future work)."""
         import jax
         import jax.numpy as jnp
         from egc_tpu.ops.dispatch import build_kernel_plan

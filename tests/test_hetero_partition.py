@@ -306,11 +306,15 @@ def test_hetero_partitioned_fused_matches_single_device(monkeypatch):
     upd, _ = tx.update(ref_g, tx.init(variables["params"]),
                        variables["params"])
     ref_new = _optax.apply_updates(variables["params"], upd)
-    for k in new_state.params:
-        np.testing.assert_allclose(
-            np.asarray(jax.tree_util.tree_leaves(new_state.params[k])[0]),
-            np.asarray(jax.tree_util.tree_leaves(ref_new[k])[0]),
-            rtol=5e-3, atol=1e-5, err_msg=k)
+    flat_ref = sorted(jax.tree_util.tree_leaves_with_path(
+        {k: v for k, v in ref_new.items() if not k.startswith("emb_")}),
+        key=lambda kv: str(kv[0]))
+    flat_got = sorted(jax.tree_util.tree_leaves_with_path(
+        dict(new_state.params)), key=lambda kv: str(kv[0]))
+    assert len(flat_ref) == len(flat_got)
+    for (kr, vr), (kg, vg) in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(np.asarray(vg), np.asarray(vr),
+                                   rtol=5e-3, atol=1e-5, err_msg=str(kr))
     for t in featless:
         tp = plan.types[t]
         got_e = tp.gather(np.asarray(new_emb[t]), hg.num_nodes(t))
@@ -318,3 +322,19 @@ def test_hetero_partitioned_fused_matches_single_device(monkeypatch):
         valid_t = np.asarray(hg.node_mask[t])
         np.testing.assert_allclose(got_e[valid_t], want_e[valid_t],
                                    rtol=5e-3, atol=1e-5, err_msg=t)
+
+
+def test_hetero_kernel_plan_geometry_covers_extended_space():
+    """Regression for the n_ext>n_dst_pad crash: at realistic halo sizes
+    the fused output must still cover hg.num_nodes(dst) = n_ext rows."""
+    raw = synthetic.synthetic_rmag(num_paper=4000, num_author=2000,
+                                   num_inst=50, num_fos=100,
+                                   num_classes=6, num_features=8, seed=1)
+    hg = hetero_from_numpy(raw["nodes"], raw["edges"])
+    num_nodes = {t: hg.num_nodes(t) for t in hg.node_types}
+    plan = partition_hetero(num_nodes, raw["edges"], NUM_DEV)
+    kplans = plan.build_kernel_plans()
+    for key, kp in kplans.items():
+        src, _, dst = key.split("__")
+        assert kp.n_dst_pad >= plan.types[dst].n_ext, key
+        assert kp.n_src_pad >= plan.types[src].n_ext, key
