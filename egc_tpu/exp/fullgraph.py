@@ -306,9 +306,12 @@ class PartitionedArxivConfig(ArxivConfig):
             masks[split] = jnp.asarray(plan.scatter_nodes(m))
         self._mesh = make_mesh({"graph": self.partitions})
         # fused Pallas aggregation inside the shard_map steps (stacked
-        # per-device plans); requires the explicit-psum step variant
-        kplans = (plan.build_kernel_plans()
-                  if _jax.default_backend() == "tpu" else None)
+        # per-device plans); requires the explicit-psum step variant.
+        # Attention layouts only when the model needs them (GAT/GATv2 —
+        # the fused helpers row-pad to the plan size for extended graphs)
+        kplans = (plan.build_kernel_plans(
+            attention=self.conv_spec().kind in ("gat", "gatv2"))
+            if _jax.default_backend() == "tpu" else None)
         self._check_vma = kplans is None
         data = {
             "plan": plan,

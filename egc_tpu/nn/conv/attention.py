@@ -100,10 +100,23 @@ def _fused_gat_softmax_sum(g, h, a_src, a_dst, self_logits, n, H, C,
 
     Runs the flash-style kernel over edges, then combines the virtual
     self-loop term and normalizes with the exact online-softmax merge.
+
+    Supports n < plan.n_pad (partitioned extended graphs, loader shadow
+    rows): node arrays are zero-row-padded to the plan size and outputs
+    sliced back — pad rows are edge-free (or shadow targets whose output
+    is discarded), so valid rows are untouched.
     """
     from egc_tpu.ops.pallas.attention import gat_attention
 
     plan = g.kernel_plan
+    n_orig = n
+    if n < plan.n_pad:
+        pad = plan.n_pad - n
+        h = jnp.pad(h, ((0, pad), (0, 0), (0, 0)))
+        a_src = jnp.pad(a_src, ((0, pad), (0, 0)))
+        a_dst = jnp.pad(a_dst, ((0, pad), (0, 0)))
+        self_logits = jnp.pad(self_logits, ((0, pad), (0, 0)))
+        n = plan.n_pad
     cp = _attn_cp(H, C)
     hcp = H * cp
     # head-interleaved packing: col c*H + h_i. When a free pad channel
@@ -146,7 +159,7 @@ def _fused_gat_softmax_sum(g, h, a_src, a_dst, self_logits, n, H, C,
     else:
         out = jnp.where(has[:, :, None],
                         o / jnp.maximum(d_e, 1e-16)[:, :, None], 0.0)
-    return out
+    return out[:n_orig]
 
 
 class GATConv(_AttentionConvBase):
@@ -178,7 +191,7 @@ class GATConv(_AttentionConvBase):
 
         plan = getattr(g, "kernel_plan", None)
         if (plan is not None and getattr(plan, "fwd_attn", None) is not None
-                and n == plan.n_pad and H <= 32
+                and n <= plan.n_pad and H <= 32
                 and (self.dropout == 0.0 or not train)
                 and _fused_attention_enabled()
                 and jax.default_backend() == "tpu"):
@@ -209,10 +222,18 @@ def _fused_gatv2_softmax_sum(g, hl, hr, att, self_logits, n, H, C,
 
     Requires cp > C (gated by the caller): channel C of whl is packed
     CONSTANT 1 to carry the softmax denominator (att's pad channels are
-    zero, so the ones never perturb the logits)."""
+    zero, so the ones never perturb the logits). Supports n < plan.n_pad
+    (see _fused_gat_softmax_sum)."""
     from egc_tpu.ops.pallas.attention import gatv2_attention
 
     plan = g.kernel_plan
+    n_orig = n
+    if n < plan.n_pad:
+        pad = plan.n_pad - n
+        hl = jnp.pad(hl, ((0, pad), (0, 0), (0, 0)))
+        hr = jnp.pad(hr, ((0, pad), (0, 0), (0, 0)))
+        self_logits = jnp.pad(self_logits, ((0, pad), (0, 0)))
+        n = plan.n_pad
     cp = _attn_cp(H, C)
     hcp = H * cp
 
@@ -244,10 +265,11 @@ def _fused_gatv2_softmax_sum(g, hl, hr, att, self_logits, n, H, C,
         corr = jnp.exp(m_e - m_full)
         p_self = jnp.exp(self_logits - m_full)
         denom = d_e * corr + p_self
-        return (o * corr[:, :, None] + p_self[:, :, None] * hl) / \
+        out = (o * corr[:, :, None] + p_self[:, :, None] * hl) / \
             jnp.maximum(denom, 1e-16)[:, :, None]
+        return out[:n_orig]
     return jnp.where(has[:, :, None],
-                     o / jnp.maximum(d_e, 1e-16)[:, :, None], 0.0)
+                     o / jnp.maximum(d_e, 1e-16)[:, :, None], 0.0)[:n_orig]
 
 
 class GATv2Conv(_AttentionConvBase):
@@ -288,7 +310,7 @@ class GATv2Conv(_AttentionConvBase):
 
         plan = getattr(g, "kernel_plan", None)
         if (plan is not None and getattr(plan, "fwd_attn", None) is not None
-                and n == plan.n_pad and H <= 32
+                and n <= plan.n_pad and H <= 32
                 and _attn_cp(H, C) > C   # ones channel for the denominator
                 and (self.dropout == 0.0 or not train)
                 and _fused_attention_enabled()

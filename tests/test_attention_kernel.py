@@ -340,3 +340,36 @@ def test_gatv2conv_fused_branch_matches_xla(monkeypatch, two_phase):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     got = np.asarray(conv.apply(variables, gk, jnp.asarray(x)))
     np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("kind", ["gat", "gatv2"])
+def test_attention_fused_short_rows_matches_xla(monkeypatch, kind):
+    """n < plan.n_pad (partitioned extended graphs / loader shadow rows):
+    the fused helpers zero-row-pad to the plan size and slice back."""
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.nn.conv.attention import GATConv, GATv2Conv
+    from egc_tpu.graph.transforms import coalesce_np
+
+    rng = np.random.default_rng(13)
+    n, e, H = 140, 650, 4
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    senders, receivers, _ = coalesce_np(senders, receivers, n)
+    plan = _mini_plan(senders, receivers, n, v2=(kind == "gatv2"))
+    n_short = plan.n_pad - 8          # fewer rows than the plan
+
+    x = np.zeros((n_short, 24), np.float32)
+    x[:n] = rng.normal(size=(n, 24))
+    g = Graph.from_coo(np.zeros((n, 1), np.float32), senders, receivers)
+    g = pad_graph(g, num_nodes=n_short, num_edges=len(senders))
+
+    conv = (GATConv(out_channels=16, heads=H) if kind == "gat"
+            else GATv2Conv(out_channels=12, heads=H))
+    variables = conv.init(jax.random.key(0), g, jnp.asarray(x))
+    ref = np.asarray(conv.apply(variables, g, jnp.asarray(x)))
+
+    gk = g.replace(kernel_plan=plan)
+    monkeypatch.setenv("EGC_TPU_FUSED_ATTENTION", "1")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    got = np.asarray(conv.apply(variables, gk, jnp.asarray(x)))
+    np.testing.assert_allclose(got[:n], ref[:n], rtol=2e-4, atol=2e-5)

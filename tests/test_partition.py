@@ -310,6 +310,7 @@ def fused_partition_env(monkeypatch):
     the fused branch inside shard_map on the CPU mesh."""
     import jax.experimental.pallas as pl
     import egc_tpu.ops.pallas.gather_reduce as gr
+    import egc_tpu.ops.pallas.attention as attn
 
     orig = pl.pallas_call
 
@@ -318,6 +319,7 @@ def fused_partition_env(monkeypatch):
         return orig(*a, **k)
 
     monkeypatch.setattr(gr.pl, "pallas_call", patched)
+    monkeypatch.setattr(attn.pl, "pallas_call", patched)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
 
@@ -419,3 +421,64 @@ def test_partitioned_fused_train_step_matches_single_device(
     for (kr, vr), (kg, vg) in zip(flat_ref, flat_got):
         np.testing.assert_allclose(np.asarray(vg), np.asarray(vr),
                                    rtol=5e-3, atol=1e-5, err_msg=str(kr))
+
+
+def test_partitioned_fused_gat_forward_matches_single_device(
+        fused_partition_env):
+    """Fused ATTENTION kernels inside shard_map: the partitioned GAT
+    forward (attention plan layouts + row-padding to the plan size) must
+    match the single-device XLA reference."""
+    raw = full_graph(seed=21, n=300, classes=5, feats=8)
+    n = raw["x"].shape[0]
+    conv = ConvSpec(kind="gat", heads=2)
+    g = jax.tree.map(jnp.asarray, Graph.from_coo(
+        raw["x"], raw["senders"], raw["receivers"]))
+    net = ArxivNet(conv=conv, hidden_dim=16, num_layers=2, dropout=0.0,
+                   residual=True, num_features=8, num_classes=5)
+    variables = net.init(jax.random.key(0), g, train=False)
+    import egc_tpu.nn.conv.attention as attn_mod
+    # reference runs the XLA path: plan-free graph (the backend patch only
+    # affects the plan-gated branch)
+    ref = np.asarray(net.apply(variables, g, train=False))
+
+    plan = partition_graph(raw["senders"], raw["receivers"], n, NUM_DEV,
+                           method="bfs")
+    kplans = plan.build_kernel_plans(attention=True)
+    assert jax.tree.leaves(kplans.fwd_attn.senders)[0] is not None
+    x_ext = np.zeros((NUM_DEV, plan.n_ext, 8), np.float32)
+    x_ext[:, :plan.n_local] = plan.scatter_nodes(raw["x"])
+    gl = jax.tree.map(jnp.asarray, plan.extended_graph(x_ext, kplans))
+    dnet = DistributedNodeClassifier(conv=conv, hidden_dim=16, num_layers=2,
+                                     dropout=0.0, residual=True,
+                                     num_features=8, num_classes=5,
+                                     e_interior=plan.e_interior)
+    mesh = make_mesh({"graph": NUM_DEV})
+    try:
+        from jax import shard_map as sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as sm
+
+    calls = []
+    orig_fused = attn_mod._fused_gat_softmax_sum
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig_fused(*a, **k)
+
+    import pytest as _pytest
+    mp = _pytest.MonkeyPatch()
+    mp.setattr(attn_mod, "_fused_gat_softmax_sum", spy)
+    try:
+        def fwd(graphs, sidx):
+            graph = jax.tree.map(lambda a: a[0], graphs)
+            out = dnet.apply(variables, graph, sidx[0], train=False)
+            return out[None]
+
+        fn = jax.jit(sm(fwd, mesh=mesh, in_specs=(P("graph"), P("graph")),
+                        out_specs=P("graph"), check_vma=False))
+        out = np.asarray(fn(gl, jnp.asarray(plan.send_idx)))
+    finally:
+        mp.undo()
+    assert calls, "fused attention branch did not engage"
+    got = plan.gather_nodes(out[:, :plan.n_local], n)
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
