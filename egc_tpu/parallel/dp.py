@@ -51,7 +51,7 @@ def make_dp_train_step(model, loss_sum_fn: Callable, mesh, axis: str = "data"):
 
     def sharded(state, graphs, ys, rng):
         graph = jax.tree.map(lambda a: a[0], graphs)   # local microbatch
-        y = ys[0]
+        y = jax.tree.map(lambda a: a[0], ys)   # array OR pytree of labels
         rng_local = jax.random.fold_in(rng, jax.lax.axis_index(axis))
 
         def loss_wrapped(params):

@@ -338,3 +338,33 @@ def test_hetero_kernel_plan_geometry_covers_extended_space():
         src, _, dst = key.split("__")
         assert kp.n_dst_pad >= plan.types[dst].n_ext, key
         assert kp.n_src_pad >= plan.types[src].n_ext, key
+
+
+def test_partitioned_rmag_restore_roundtrip(tmp_path):
+    """Checkpoint restore must round-trip the device-local embedding rows
+    and their optimizer state (they live in state.batch_stats) and
+    reproduce the trial's final metrics."""
+    from egc_tpu.exp.hetero import PartitionedRMagConfig
+    from egc_tpu.exp.runner import run_trial
+
+    def mk():
+        cfg = PartitionedRMagConfig(hidden=32, heads=4, bases=2,
+                                    partitions=NUM_DEV)
+        cfg.synthetic = True
+        cfg.load_hetero = lambda: synthetic.synthetic_rmag(
+            num_paper=240, num_author=120, num_inst=16, num_fos=24,
+            num_classes=5, num_features=16, seed=6)
+        return cfg
+
+    cfg = mk()
+    hp = {"lr": 0.01, "wd": 1e-4, "dropout": 0.0}
+    res = run_trial(cfg, hp, seed=0, max_iterations=5, patience=50,
+                    trial_dir=tmp_path, verbose=False)
+    ref = res["test"]
+
+    cfg2 = mk()
+    model, state, plateau, hp2, data = cfg2.restore_trial(tmp_path)
+    assert "emb" in state.batch_stats and "emb_opt" in state.batch_stats
+    got = cfg2.test(model, state, data)
+    assert got["val_acc"] == pytest.approx(ref["val_acc"], abs=1e-6)
+    assert got["test_acc"] == pytest.approx(ref["test_acc"], abs=1e-6)
