@@ -154,16 +154,10 @@ class FullGraphConfig(ExperimentConfig):
         return state, {"train_loss": float(loss)}
 
     def val(self, model, state, data):
+        from egc_tpu.train.metrics import split_accuracies
         _, eval_step = self._steps(model)
         out = eval_step(state, data["graph"])
-        pred = jnp.argmax(out, axis=-1)
-        metrics = {}
-        for split, key in (("train", "train_acc"), ("val", "val_acc"),
-                           ("test", "test_acc")):
-            m = data["masks"][split]
-            correct = jnp.sum((pred == data["y"]) & m)
-            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
-        return metrics
+        return split_accuracies(out, data["y"], data["masks"])
 
     def test(self, model, state, data):
         return self.val(model, state, data)
@@ -379,15 +373,10 @@ class PartitionedArxivConfig(ArxivConfig):
                 check_vma=getattr(self, "_check_vma", True))
             self._eval_model = model
         out = self._eval_step(state, data["graph"], data["send_idx"])
+        from egc_tpu.train.metrics import split_accuracies
         plan = data["plan"]
-        pred = jnp.argmax(out[:, :plan.n_local], axis=-1)
-        metrics = {}
-        for split, key in (("train", "train_acc"), ("val", "val_acc"),
-                           ("test", "test_acc")):
-            m = data["masks"][split]
-            correct = jnp.sum((pred == data["y"]) & m)
-            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
-        return metrics
+        return split_accuracies(out[:, :plan.n_local], data["y"],
+                                data["masks"])
 
 
 class SampledMagConfig(MagConfig):
@@ -497,14 +486,8 @@ class SampledMagConfig(MagConfig):
         # full-graph deterministic evaluation (reference mag/configs.py:34);
         # the conv layers are graph-generic, so the sampled-trained params
         # apply directly to the full graph
+        from egc_tpu.train.metrics import split_accuracies
         _, eval_step = self._steps(model)
         full = data["full"]
         out = eval_step(state, full["graph"])
-        pred = jnp.argmax(out, axis=-1)
-        metrics = {}
-        for split, key in (("train", "train_acc"), ("val", "val_acc"),
-                           ("test", "test_acc")):
-            m = full["masks"][split]
-            correct = jnp.sum((pred == full["y"]) & m)
-            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
-        return metrics
+        return split_accuracies(out, full["y"], full["masks"])

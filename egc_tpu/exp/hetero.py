@@ -140,16 +140,10 @@ class RMagConfig(ExperimentConfig):
         return cache[model]
 
     def val(self, model, state, data):
+        from egc_tpu.train.metrics import split_accuracies
         steps = self._get_steps(model)
         out = steps["eval"](state, data["hetero"])
-        pred = jnp.argmax(out, axis=-1)
-        metrics = {}
-        for split, key in (("train", "train_acc"), ("val", "val_acc"),
-                           ("test", "test_acc")):
-            m = data["masks"][split]
-            correct = jnp.sum((pred == data["y"]) & m)
-            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
-        return metrics
+        return split_accuracies(out, data["y"], data["masks"])
 
     def test(self, model, state, data):
         return self.val(model, state, data)
@@ -319,16 +313,11 @@ class PartitionedRMagConfig(RMagConfig):
         slim = state.replace(batch_stats={})
         out = eval_step(slim, state.batch_stats["emb"], data["hetero"],
                         data["x_stack"], data["send_idx"])
+        from egc_tpu.train.metrics import split_accuracies
         plan = data["plan"]
         pp = plan.types["paper"]
-        pred = jnp.argmax(out[:, :pp.n_local], axis=-1)
-        metrics = {}
-        for split, key in (("train", "train_acc"), ("val", "val_acc"),
-                           ("test", "test_acc")):
-            m = data["masks"][split]
-            correct = jnp.sum((pred == data["y"]) & m)
-            metrics[key] = float(correct / jnp.maximum(jnp.sum(m), 1))
-        return metrics
+        return split_accuracies(out[:, :pp.n_local], data["y"],
+                                data["masks"])
 
     def test(self, model, state, data):
         return self.val(model, state, data)

@@ -57,3 +57,32 @@ def sequence_f1(seq_pred: Sequence[List], seq_ref: Sequence[List]) -> float:
         f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
         f1s.append(f1)
     return float(np.mean(f1s)) if f1s else 0.0
+
+
+def _split_acc_compute(out, y, m_tr, m_va, m_te):
+    import jax.numpy as jnp
+
+    pred = jnp.argmax(out, axis=-1)
+
+    def acc(m):
+        return jnp.sum((pred == y) & m) / jnp.maximum(jnp.sum(m), 1)
+
+    return jnp.stack([acc(m_tr), acc(m_va), acc(m_te)])
+
+
+_split_acc_jit = None
+
+
+def split_accuracies(out, y, masks: dict) -> dict:
+    """{split}_acc over log-prob rows in ONE jitted call + ONE device
+    read (per-op eager dispatch costs a host<->device round trip each —
+    ruinous through a remote tunnel, wasteful everywhere). The jitted
+    callable is module-global so repeated epochs hit the trace cache."""
+    import jax
+    global _split_acc_jit
+
+    if _split_acc_jit is None:
+        _split_acc_jit = jax.jit(_split_acc_compute)
+    splits = ("train", "val", "test")
+    vals = np.asarray(_split_acc_jit(out, y, *[masks[s] for s in splits]))
+    return {f"{s}_acc": float(v) for s, v in zip(splits, vals)}
