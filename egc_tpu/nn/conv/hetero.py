@@ -35,7 +35,13 @@ def _rel_multi_aggregate(hg: HeteroGraph, key: str, x_src, n_dst: int,
     plan = plans.get(key)
     if plan is not None and jax.default_backend() == "tpu":
         from egc_tpu.ops.dispatch import bipartite_multi_aggregate
-        return bipartite_multi_aggregate(x_src, plan, aggrs)[:n_dst]
+        out = bipartite_multi_aggregate(x_src, plan, aggrs)
+        if out.shape[0] < n_dst:
+            # partitioned extended graphs: the plan's dst grid covers the
+            # LOCAL rows only (receivers are always owned); halo dst rows
+            # aggregate to zero on the XLA path, so zero-pad to match
+            out = jnp.pad(out, ((0, n_dst - out.shape[0]), (0, 0), (0, 0)))
+        return out[:n_dst]
     fns = {"mean": segment_mean, "max": segment_max}
     gathered = jnp.take(x_src, hg.senders[key], axis=0)
     outs = [fns[a](gathered, hg.receivers[key], n_dst,

@@ -130,7 +130,9 @@ def build_hetero_partitioned_steps(model, mesh, emb_tx, n_ext_map,
             nll = -gather_label_scores(out[:n_local], y)
             m = mask.astype(out.dtype)
             s_local = jnp.sum(nll * m)
-            c_local = jnp.sum(m)
+            # float32 count regardless of out.dtype (a bf16 head would
+            # lose integer exactness above 256)
+            c_local = jnp.sum(mask.astype(jnp.float32))
             if check_vma:
                 s = jax.lax.psum(s_local, axis)
                 c = jax.lax.psum(c_local, axis)

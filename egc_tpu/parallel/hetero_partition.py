@@ -131,12 +131,14 @@ class HeteroPartitionPlan:
         for key, rp in self.rels.items():
             src, _, dst = split_rel_key(key)
             sp, dp = self.types[src], self.types[dst]
-            # num_dst must cover the EXTENDED dst space: the conv slices
-            # the fused output to hg.num_nodes(dst) = n_ext (halo rows are
-            # garbage-but-present there, exactly like the XLA path)
+            # dst side covers the LOCAL space only: receivers are always
+            # owned rows (edges live at their destination owner), so the
+            # fused grid need not sweep halo dst rows — the conv zero-pads
+            # the sliced output up to n_ext (halo rows aggregate to zero
+            # on the XLA path too). 3x fewer dst blocks at mag-like halos.
             per_dev = [build_bipartite_kernel_plan(
                 rp.senders_ext[p], rp.receivers_loc[p], sp.n_ext,
-                dp.n_ext, edge_mask=rp.edge_mask[p],
+                dp.n_local, edge_mask=rp.edge_mask[p],
                 keep_masked_edges=True)
                 for p in range(self.num_parts)]
             plans[key] = jax.tree.map(lambda *xs: jnp.stack(xs), *per_dev)

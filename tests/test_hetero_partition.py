@@ -313,6 +313,7 @@ def test_hetero_partitioned_fused_matches_single_device(monkeypatch):
         dict(new_state.params)), key=lambda kv: str(kv[0]))
     assert len(flat_ref) == len(flat_got)
     for (kr, vr), (kg, vg) in zip(flat_ref, flat_got):
+        assert str(kr) == str(kg)
         np.testing.assert_allclose(np.asarray(vg), np.asarray(vr),
                                    rtol=5e-3, atol=1e-5, err_msg=str(kr))
     for t in featless:
@@ -335,9 +336,10 @@ def test_hetero_kernel_plan_geometry_covers_extended_space():
     plan = partition_hetero(num_nodes, raw["edges"], NUM_DEV)
     kplans = plan.build_kernel_plans()
     for key, kp in kplans.items():
-        src, _, dst = key.split("__")
-        assert kp.n_dst_pad >= plan.types[dst].n_ext, key
-        assert kp.n_src_pad >= plan.types[src].n_ext, key
+        _, _, dst = split_rel_key(key)
+        # LOCAL dst grid + conv-side zero padding must cover every local
+        # receiver row (the old bug: n_dst_pad < rows the conv sliced)
+        assert kp.n_dst_pad >= plan.types[dst].n_local + 1, key
 
 
 def test_partitioned_rmag_restore_roundtrip(tmp_path):
