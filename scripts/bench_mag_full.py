@@ -24,31 +24,58 @@ from egc_tpu.train.state import TrainState
 
 
 def main():
+    T0 = time.time()
+    n_target = 368_000 if "half" in sys.argv else 736_389
     raw = synthetic.synthetic_full_graph(
-        num_nodes=736_389, avg_degree=14, num_classes=349,
+        num_nodes=n_target, avg_degree=14, num_classes=349,
         num_features=128, seed=0)
-    d = full_graph_to_device_dict(raw)
-    g = d["graph"]
+    # lean manual setup (vs full_graph_to_device_dict): symnorm-only EGC
+    # needs just the fwd/bwd layouts — the default builds 6 (narrow bwd +
+    # attention + v2), tripling the tunnel transfer at 10.6M edges
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.graph.transforms import symnorm_weight
+    from egc_tpu.ops.dispatch import build_kernel_plan
+    n = raw["x"].shape[0]
+    ew, sw = symnorm_weight(jnp.asarray(raw["senders"]),
+                            jnp.asarray(raw["receivers"]), n)
+    plan = build_kernel_plan(raw["senders"], raw["receivers"], n,
+                             edge_weight=np.asarray(ew),
+                             bwd_narrow_window_rows=None, attention=False)
+    g = Graph.from_coo(raw["x"], raw["senders"], raw["receivers"])
+    g = pad_graph(g, num_nodes=plan.n_pad, num_edges=len(raw["senders"]))
+    g = g.replace(kernel_plan=plan,
+                  self_weight=jnp.pad(sw, (0, plan.n_pad - n)))
+    g = jax.tree.map(jnp.asarray, g)
     e = int(np.asarray(g.edge_mask).sum())
-    y, tmask = d["y"], d["masks"]["train"]
-    print(f"nodes={g.nodes.shape[0]} edges={e}", flush=True)
+    y = jnp.asarray(np.pad(raw["y"], (0, plan.n_pad - n)))
+    tm = np.zeros(plan.n_pad, bool)
+    tm[raw["train_idx"]] = True
+    tmask = jnp.asarray(tm)
+    print(f"nodes={g.nodes.shape[0]} edges={e} t={time.time()-T0:.0f}s",
+          flush=True)
 
     net = MagNet(hidden_dim=352, num_layers=2, dropout=0.5, heads=8,
                  bases=4, aggrs=("symnorm",))
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.key(0), g, train=False)
+    jax.block_until_ready(variables)
+    print(f"init done t={time.time()-T0:.0f}s", flush=True)
     state = TrainState.create(params=variables["params"],
                               batch_stats=variables.get("batch_stats", {}),
                               tx=make_optimizer(1e-2, 0.0))
-    y1h = jax.nn.one_hot(y, 349)
 
-    def make_step(graph):
+    def make_step():
+        # NB: graph/labels as ARGUMENTS, not closure constants — jit
+        # constants are shipped inside the remote-compile request body and
+        # a mag-scale one-hot matrix (737k x 349 = 1 GB) blows its length
+        # limit (HTTP 413); one_hot happens in-jit where it fuses away
         @jax.jit
-        def step(state, rng):
+        def step(state, graph, y, tmask, rng):
             def loss_fn(params):
                 out = net.apply({"params": params}, graph, train=True,
                                 rngs={"dropout": rng})
-                nll = -jnp.sum(out * y1h, axis=1)
+                nll = -jnp.sum(out * jax.nn.one_hot(y, out.shape[-1]),
+                               axis=1)
                 m = tmask.astype(out.dtype)
                 return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
@@ -63,12 +90,13 @@ def main():
         variants.append(("XLA  ", g.replace(kernel_plan=None)))
     for tag, graph in variants:
         try:
-            step = make_step(graph)
-            s2, _ = step(state, rng)
+            step = make_step()
+            s2, _ = step(state, graph, y, tmask, rng)
             jax.block_until_ready(s2)
+            print(f"step compiled t={time.time()-T0:.0f}s", flush=True)
             t0 = time.time()
             for _ in range(5):
-                s2, loss = step(s2, rng)
+                s2, loss = step(s2, graph, y, tmask, rng)
             jax.block_until_ready(s2)
             dt = (time.time() - t0) / 5
             print(f"mag h352 EGC-S full-graph step ({tag}): {dt*1e3:.0f} ms"
