@@ -57,13 +57,21 @@ def run_search_parallel(
     seed: int = 0,
     max_iterations: Optional[int] = None,
     worker_platform: str = "cpu",
+    resources=None,
 ) -> Dict[str, Any]:
     """Evaluate hyperparameter candidates across worker processes.
 
     ``config_spec`` = (module, qualname, args, kwargs) of a factory callable
     returning a fresh ExperimentConfig (must be importable in workers).
     Returns the best hyperparameters.
+
+    ``resources``: the config's ``resource_requirements()`` (TrialResources)
+    — the exptune/ray packing role: ``num_workers`` is clamped so that
+    ``workers * resources.cpus`` does not oversubscribe the host.
     """
+    if resources is not None and getattr(resources, "cpus", 0):
+        cap = max(1, (os.cpu_count() or 1) // max(int(resources.cpus), 1))
+        num_workers = max(1, min(num_workers, cap))
     sign = 1.0 if metric_mode == "min" else -1.0
     results = []
     # spawn (not fork): forking a process with an initialized JAX runtime

@@ -199,7 +199,8 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
         best_hparams = run_search_parallel(
             spec, candidates, metric_mode=metric.mode,
             metric_name=metric.name, num_workers=search_workers,
-            exp_dir=exp_directory, seed=seed_base)
+            exp_dir=exp_directory, seed=seed_base,
+            resources=config.resource_requirements())
         print("Best hparams:", best_hparams)
     else:
         # strategy + scheduler come from config.search_strategy() /
