@@ -141,26 +141,11 @@ class GraphLoader:
         order = np.arange(len(self.graphs))
         if self.shuffle:
             self._rng.shuffle(order)
-        if self.prefetch:
-            from collections import deque
-            from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(self.prefetch) as ex:
-                futs = deque()
-                it = self._batches(order)
-                for idx in it:
-                    futs.append(ex.submit(self._build, idx))
-                    if len(futs) >= self.prefetch:
-                        break
-                while futs:
-                    item = futs.popleft().result()
-                    try:
-                        futs.append(ex.submit(self._build, next(it)))
-                    except StopIteration:
-                        pass
-                    yield self._maybe_cache(item)
-        else:
-            for idx in self._batches(order):
-                yield self._maybe_cache(self._build(idx))
+        from egc_tpu.data.prefetch import prefetched
+        for item in prefetched(self._build,
+                               ((idx,) for idx in self._batches(order)),
+                               self.prefetch):
+            yield self._maybe_cache(item)
         if self._cache is not None:
             self._cache_complete = True
 

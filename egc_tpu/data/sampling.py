@@ -62,7 +62,7 @@ class NeighborSampler:
 
         rng = self._rng if rng is None else rng
         seeds = np.asarray(seeds, np.int64)
-        loc = np.full(self.num_nodes, -1, np.int64)
+        loc = np.full(self.num_nodes, -1, np.int32)   # per-call scratch
         loc[seeds] = np.arange(len(seeds))
         node_ids = seeds.copy()
         s_parts, r_parts = [], []
@@ -72,9 +72,8 @@ class NeighborSampler:
                 break
             deg = self._rowptr[frontier + 1] - self._rowptr[frontier]
             cand = _segmented_arange(self._rowptr[frontier], deg)
-            if not len(cand):
-                frontier = np.zeros(0, np.int64)
-                continue
+            if not len(cand):    # frontier is all zero-degree: done
+                break
             recv = np.repeat(frontier, deg)
             keys = rng.random(len(cand))
             order = np.lexsort((keys, recv))
@@ -189,26 +188,5 @@ class SampledNodeLoader:
                   for k, i in enumerate(
                       range(0, len(order), self.batch_size))]
         self._batch_counter = base + len(chunks)
-        if not self.prefetch:
-            for seeds, bid in chunks:
-                yield self._build(seeds, bid)
-            return
-        from collections import deque
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(self.prefetch) as ex:
-            futs = deque()
-            it = iter(chunks)
-            for _ in range(self.prefetch):
-                try:
-                    seeds, bid = next(it)
-                except StopIteration:
-                    break
-                futs.append(ex.submit(self._build, seeds, bid))
-            while futs:
-                item = futs.popleft().result()
-                try:
-                    seeds, bid = next(it)
-                    futs.append(ex.submit(self._build, seeds, bid))
-                except StopIteration:
-                    pass
-                yield item
+        from egc_tpu.data.prefetch import prefetched
+        yield from prefetched(self._build, chunks, self.prefetch)

@@ -94,6 +94,12 @@ def _attn_cp(heads: int, channels: int) -> int:
     return cp
 
 
+def _pad_rows(n_pad, *arrays):
+    """Zero-pad leading (node) axis of each array up to n_pad rows."""
+    return [jnp.pad(a, ((0, n_pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+            for a in arrays]
+
+
 def _fused_gat_softmax_sum(g, h, a_src, a_dst, self_logits, n, H, C,
                            slope, include_self):
     """Fused Pallas edge-softmax path: returns out [n, H, C].
@@ -111,11 +117,8 @@ def _fused_gat_softmax_sum(g, h, a_src, a_dst, self_logits, n, H, C,
     plan = g.kernel_plan
     n_orig = n
     if n < plan.n_pad:
-        pad = plan.n_pad - n
-        h = jnp.pad(h, ((0, pad), (0, 0), (0, 0)))
-        a_src = jnp.pad(a_src, ((0, pad), (0, 0)))
-        a_dst = jnp.pad(a_dst, ((0, pad), (0, 0)))
-        self_logits = jnp.pad(self_logits, ((0, pad), (0, 0)))
+        h, a_src, a_dst, self_logits = _pad_rows(
+            plan.n_pad, h, a_src, a_dst, self_logits)
         n = plan.n_pad
     cp = _attn_cp(H, C)
     hcp = H * cp
@@ -229,10 +232,7 @@ def _fused_gatv2_softmax_sum(g, hl, hr, att, self_logits, n, H, C,
     plan = g.kernel_plan
     n_orig = n
     if n < plan.n_pad:
-        pad = plan.n_pad - n
-        hl = jnp.pad(hl, ((0, pad), (0, 0), (0, 0)))
-        hr = jnp.pad(hr, ((0, pad), (0, 0), (0, 0)))
-        self_logits = jnp.pad(self_logits, ((0, pad), (0, 0)))
+        hl, hr, self_logits = _pad_rows(plan.n_pad, hl, hr, self_logits)
         n = plan.n_pad
     cp = _attn_cp(H, C)
     hcp = H * cp

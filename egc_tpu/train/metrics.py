@@ -70,7 +70,9 @@ def _split_acc_compute(out, y, m_tr, m_va, m_te):
     return jnp.stack([acc(m_tr), acc(m_va), acc(m_te)])
 
 
-_split_acc_jit = None
+import jax  # noqa: E402 (jit wrapper creation only; no tracing at import)
+
+_split_acc_jit = jax.jit(_split_acc_compute)
 
 
 def split_accuracies(out, y, masks: dict) -> dict:
@@ -78,11 +80,6 @@ def split_accuracies(out, y, masks: dict) -> dict:
     read (per-op eager dispatch costs a host<->device round trip each —
     ruinous through a remote tunnel, wasteful everywhere). The jitted
     callable is module-global so repeated epochs hit the trace cache."""
-    import jax
-    global _split_acc_jit
-
-    if _split_acc_jit is None:
-        _split_acc_jit = jax.jit(_split_acc_compute)
     splits = ("train", "val", "test")
     vals = np.asarray(_split_acc_jit(out, y, *[masks[s] for s in splits]))
     return {f"{s}_acc": float(v) for s, v in zip(splits, vals)}
