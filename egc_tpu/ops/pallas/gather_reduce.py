@@ -197,10 +197,10 @@ def segment_gather_reduce(
         num_scalar_prefetch=1,
         grid=(num_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # vals (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),      # senders
-            pl.BlockSpec(memory_space=pltpu.ANY),      # receivers
-            pl.BlockSpec(memory_space=pltpu.ANY),      # edge_w
+            pl.BlockSpec(memory_space=pl.ANY),      # vals (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),      # senders
+            pl.BlockSpec(memory_space=pl.ANY),      # receivers
+            pl.BlockSpec(memory_space=pl.ANY),      # edge_w
         ],
         out_specs=tuple(
             pl.BlockSpec((block_rows, f), lambda i, *_: (i, 0),
@@ -559,7 +559,7 @@ def windowed_gather_reduce(
             _windowed_kernel_wide, ops=ops, block_rows=block_rows,
             window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
             s_blocks=s_blocks)
-        out_specs = tuple(pl.BlockSpec(memory_space=pltpu.ANY)
+        out_specs = tuple(pl.BlockSpec(memory_space=pl.ANY)
                           for _ in ops)
         scratch = (
             [pltpu.VMEM((block_rows, f), vals.dtype) for _ in ops]
@@ -594,9 +594,9 @@ def windowed_gather_reduce(
         in_specs=[
             pl.BlockSpec((window_rows, f), lambda i, s, *_: (s, 0),
                          memory_space=pltpu.VMEM),   # streamed sender window
-            pl.BlockSpec(memory_space=pltpu.ANY),    # senders
-            pl.BlockSpec(memory_space=pltpu.ANY),    # receivers
-            pl.BlockSpec(memory_space=pltpu.ANY),    # edge_w
+            pl.BlockSpec(memory_space=pl.ANY),    # senders
+            pl.BlockSpec(memory_space=pl.ANY),    # receivers
+            pl.BlockSpec(memory_space=pl.ANY),    # edge_w
         ],
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -898,8 +898,8 @@ def windowed_gather_reduce_bwd(
             _windowed_bwd_kernel_wide, segs=segs, block_rows=block_rows,
             window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
             s_blocks=s_blocks)
-        vals_spec = pl.BlockSpec(memory_space=pltpu.ANY)
-        out_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        vals_spec = pl.BlockSpec(memory_space=pl.ANY)
+        out_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
             pltpu.VMEM((block_rows, f), vals.dtype),   # stationary vals
             pltpu.VMEM((block_rows, f), vals.dtype),   # gradient accumulator
@@ -935,9 +935,9 @@ def windowed_gather_reduce_bwd(
             pl.BlockSpec((window_rows, k * f), lambda i, s, *_: (s, 0),
                          memory_space=pltpu.VMEM),   # coeff window
             vals_spec,                               # stationary vals block
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
         scratch_shapes=scratch,
