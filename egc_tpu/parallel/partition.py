@@ -107,11 +107,12 @@ class PartitionPlan:
         identical across devices by construction, so stacking is safe).
         NOTE: the steps must then be built with ``check_vma=False``
         (Pallas calls do not carry vma types); see
-        ``make_partitioned_train_step``. ``attention`` defaults OFF: the
-        fused attention wrappers gate on ``n == plan.n_pad`` and the
-        extended node count is always < n_pad here, so attention layouts
-        would be dead weight — partitioned attention runs the XLA path
-        (relaxing that gate with row padding is future work)."""
+        ``make_partitioned_train_step``. Pass ``attention=True`` for
+        GAT/GATv2 shards: the fused attention wrappers row-pad inputs up
+        to ``plan.n_pad`` when the extended node count is smaller, so
+        partitioned attention rides the fused kernels too (gated by
+        tests/test_partition.py; ``exp/fullgraph.py`` wires it for the
+        gat/gatv2 conv kinds)."""
         import jax
         import jax.numpy as jnp
         from egc_tpu.ops.dispatch import build_kernel_plan

@@ -219,9 +219,9 @@ def probe_unroll(unroll: int, bf16: bool = False):
         in_specs=[
             pl.BlockSpec((WR, F), lambda c, m: (m[c, 0], 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((BR, F), lambda c, m: (m[c, 1], 0),
                                memory_space=pltpu.VMEM),
