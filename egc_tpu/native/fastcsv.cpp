@@ -1,0 +1,151 @@
+// Fast numeric-CSV parser for the on-disk dataset readers.
+//
+// Role: the reference leans on pandas/OGB C-backed CSV parsing for the
+// OGB raw layouts (reference mag/configs.py:77-88 via ogb's read_csv);
+// this is the framework's native equivalent, exposed to Python over
+// ctypes (egc_tpu/native/__init__.py). Input is decompressed CSV text
+// (gzip handled by Python's zlib, which is already C); this file turns
+// text into typed arrays at memory bandwidth using all cores.
+//
+// Exported ABI (all little-endian, caller-allocated output):
+//   fastcsv_count(data, len)            -> number of numeric fields
+//   fastcsv_parse_f32(data, len, out, cap) -> fields parsed or -1
+//   fastcsv_parse_f64(...), fastcsv_parse_i64(...)
+//
+// A "field" is any maximal run of non-separator bytes; separators are
+// ',', '\n', '\r', ' ', '\t'. Malformed numerics parse as 0 following
+// strtod semantics (the OGB files are machine-generated; the Python
+// layer validates field counts against row/col structure).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+inline bool is_sep(char c) {
+    return c == ',' || c == '\n' || c == '\r' || c == ' ' || c == '\t';
+}
+
+// Split [0, len) into per-thread ranges aligned to separator boundaries so
+// no field straddles two threads.
+std::vector<std::pair<int64_t, int64_t>> ranges(const char* data, int64_t len,
+                                                int nthreads) {
+    std::vector<std::pair<int64_t, int64_t>> out;
+    int64_t start = 0;
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t end = (t == nthreads - 1) ? len : len * (t + 1) / nthreads;
+        if (end < len) {
+            while (end > start && !is_sep(data[end - 1])) --end;
+            if (end == start) end = (t == nthreads - 1) ? len : end;
+        }
+        out.emplace_back(start, end);
+        start = end;
+    }
+    out.back().second = len;
+    return out;
+}
+
+int64_t count_range(const char* data, int64_t lo, int64_t hi) {
+    int64_t n = 0;
+    bool in_field = false;
+    for (int64_t i = lo; i < hi; ++i) {
+        bool sep = is_sep(data[i]);
+        if (!sep && !in_field) ++n;
+        in_field = !sep;
+    }
+    return n;
+}
+
+int nthreads_for(int64_t len) {
+    unsigned hw = std::thread::hardware_concurrency();
+    if (hw == 0) hw = 1;
+    // below ~4 MB the spawn overhead dominates
+    int64_t want = len / (4 << 20) + 1;
+    return static_cast<int>(want < static_cast<int64_t>(hw) ? want : hw);
+}
+
+template <typename T, typename Parse>
+int64_t parse_all(const char* data, int64_t len, T* out, int64_t cap,
+                  Parse parse_one) {
+    int nt = nthreads_for(len);
+    auto rs = ranges(data, len, nt);
+    std::vector<int64_t> counts(nt);
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < nt; ++t)
+            th.emplace_back([&, t] {
+                counts[t] = count_range(data, rs[t].first, rs[t].second);
+            });
+        for (auto& x : th) x.join();
+    }
+    std::vector<int64_t> offset(nt + 1, 0);
+    for (int t = 0; t < nt; ++t) offset[t + 1] = offset[t] + counts[t];
+    if (offset[nt] > cap) return -1;
+    {
+        std::vector<std::thread> th;
+        for (int t = 0; t < nt; ++t)
+            th.emplace_back([&, t] {
+                const char* p = data + rs[t].first;
+                const char* end = data + rs[t].second;
+                T* o = out + offset[t];
+                while (p < end) {
+                    while (p < end && is_sep(*p)) ++p;
+                    if (p >= end) break;
+                    char* q;
+                    *o++ = parse_one(p, &q);
+                    // strtod may stop inside the field on malformed input;
+                    // always advance past the field
+                    p = q > p ? q : p + 1;
+                    while (p < end && !is_sep(*p)) ++p;
+                }
+            });
+        for (auto& x : th) x.join();
+    }
+    return offset[nt];
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t fastcsv_count(const char* data, int64_t len) {
+    int nt = nthreads_for(len);
+    auto rs = ranges(data, len, nt);
+    std::vector<int64_t> counts(nt);
+    std::vector<std::thread> th;
+    for (int t = 0; t < nt; ++t)
+        th.emplace_back([&, t, rs] {
+            counts[t] = count_range(data, rs[t].first, rs[t].second);
+        });
+    for (auto& x : th) x.join();
+    int64_t n = 0;
+    for (auto c : counts) n += c;
+    return n;
+}
+
+int64_t fastcsv_parse_f32(const char* data, int64_t len, float* out,
+                          int64_t cap) {
+    return parse_all<float>(data, len, out, cap, [](const char* p, char** q) {
+        return strtof(p, q);
+    });
+}
+
+int64_t fastcsv_parse_f64(const char* data, int64_t len, double* out,
+                          int64_t cap) {
+    return parse_all<double>(data, len, out, cap, [](const char* p, char** q) {
+        return strtod(p, q);
+    });
+}
+
+int64_t fastcsv_parse_i64(const char* data, int64_t len, int64_t* out,
+                          int64_t cap) {
+    return parse_all<int64_t>(data, len, out, cap,
+                              [](const char* p, char** q) {
+                                  return strtoll(p, q, 10);
+                              });
+}
+
+}  // extern "C"

@@ -163,6 +163,16 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
         # (reference load_pretrained asserts, zinc/configs.py:264-284)
         from egc_tpu.exp.pretrained import validate_pretrained
         validate_pretrained(dataset, model, config)
+        pt = exp_directory / "checkpoint.pt"
+        if pt.exists():
+            # reference torch-format checkpoint: numpy-only read + layout
+            # port (egc_tpu.exp.weight_port; no torch dependency)
+            from egc_tpu.exp.weight_port import restore_pretrained_pt
+            model_obj, state, data = restore_pretrained_pt(
+                config, dataset, pt, seed=seed_base)
+            print(model_obj)
+            print(config.test(model_obj, state, data))
+            return
         model_obj, state, plateau, hp, data = config.restore_trial(
             exp_directory)
         print(model_obj)

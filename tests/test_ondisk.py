@@ -195,3 +195,66 @@ def test_load_cifar10_superpixels(tmp_path, monkeypatch):
     assert g["nodes"].shape[1] == 5
     assert g["senders"].dtype == np.int32
     assert 0 <= g["y"][0] < 10
+
+
+# ---------------------------------------------------------------------------
+# fast CSV parsing paths (native / pandas / sidecar cache) — all must agree
+# with np.loadtxt (the round-2 reference implementation)
+# ---------------------------------------------------------------------------
+
+def test_read_csv_gz_matches_loadtxt(tmp_path):
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(57, 7)).astype(np.float64) * 1e3
+    write_csv_gz(tmp_path / "f.csv.gz", f, fmt="%.8g")
+    i = rng.integers(-10**14, 10**14, size=(33, 3))
+    write_csv_gz(tmp_path / "i.csv.gz", i)
+    s = rng.integers(0, 9, size=(11, 1))
+    write_csv_gz(tmp_path / "s.csv.gz", s)
+
+    with gzip.open(tmp_path / "f.csv.gz", "rt") as fh:
+        ref_f = np.loadtxt(fh, delimiter=",", dtype=np.float32, ndmin=2)
+    got_f = ondisk._read_csv_gz(tmp_path / "f.csv.gz", np.float32)
+    np.testing.assert_allclose(got_f, ref_f, rtol=1e-6)
+    np.testing.assert_array_equal(
+        ondisk._read_csv_gz(tmp_path / "i.csv.gz"), i)
+    got_s = ondisk._read_csv_gz(tmp_path / "s.csv.gz")
+    assert got_s.shape == (11, 1)
+    np.testing.assert_array_equal(got_s, s)
+
+
+def test_read_csv_gz_sidecar_cache(tmp_path):
+    arr = np.arange(12).reshape(4, 3)
+    write_csv_gz(tmp_path / "c.csv.gz", arr)
+    a = ondisk._read_csv_gz(tmp_path / "c.csv.gz")
+    cache = tmp_path / "c.csv.gz.npy"
+    assert cache.exists()
+    # poison the cache to prove the second read uses it
+    np.save(cache, arr + 100)
+    import os
+    os.utime(cache)  # keep cache mtime >= source
+    b = ondisk._read_csv_gz(tmp_path / "c.csv.gz")
+    np.testing.assert_array_equal(b, arr + 100)
+    # stale cache (older than source) is re-parsed
+    os.utime(tmp_path / "c.csv.gz")
+    os.utime(cache, (0, 0))
+    c = ondisk._read_csv_gz(tmp_path / "c.csv.gz")
+    np.testing.assert_array_equal(c, a)
+
+
+def test_native_fastcsv_parser(tmp_path):
+    from egc_tpu import native
+    if native.get_fastcsv() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(1)
+    # exponents, negatives, mixed whitespace, trailing newline variants
+    text = b"1.5e-3,-2,0.25\n-1e10,3,4\r\n7,8,9"
+    flat = native.parse_csv_bytes(text, np.float32)
+    np.testing.assert_allclose(
+        flat, [1.5e-3, -2, 0.25, -1e10, 3, 4, 7, 8, 9], rtol=1e-6)
+    ints = native.parse_csv_bytes(b"5,-7\n12,9223372036854\n", np.int64)
+    np.testing.assert_array_equal(ints, [5, -7, 12, 9223372036854])
+    # large block exercises the multithreaded path (> 4 MB)
+    big = rng.integers(0, 1000, size=(400_000, 2))
+    blob = "\n".join(f"{a},{b}" for a, b in big).encode()
+    out = native.parse_csv_bytes(blob, np.int64)
+    np.testing.assert_array_equal(out.reshape(-1, 2), big)
