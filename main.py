@@ -210,7 +210,8 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
             spec, candidates, metric_mode=metric.mode,
             metric_name=metric.name, num_workers=search_workers,
             exp_dir=exp_directory, seed=seed_base,
-            resources=config.resource_requirements())
+            resources=config.resource_requirements(),
+            scheduler=config.trial_scheduler())
         print("Best hparams:", best_hparams)
     else:
         # strategy + scheduler come from config.search_strategy() /

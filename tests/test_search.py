@@ -83,3 +83,76 @@ def test_parallel_search(tmp_path):
         num_workers=2, exp_dir=tmp_path, max_iterations=3)
     assert best["lr"] == 1e-3
     assert (tmp_path / "search_results.json").exists()
+
+
+# ---------------------------------------------------------------------------
+# cross-worker pruning (VERDICT r2 item 5): shared rung table, decisions
+# match the sequential pruner on a fixed candidate set
+# ---------------------------------------------------------------------------
+
+CANDIDATES = [{"lr": 1e-3, "batch_size": 32, "wd": 0.0},
+              {"lr": 8e-4, "batch_size": 32, "wd": 0.0},
+              {"lr": 9.0, "batch_size": 32, "wd": 0.0}]   # diverges
+
+
+def _fast_pruner():
+    return AsyncHyperBandPruner("min", grace_period=2, reduction_factor=2,
+                                max_t=8)
+
+
+def _zinc_factory_pruned():
+    from egc_tpu.exp.config import StopperSpec
+    cfg = tiny_zinc_config()
+    cfg.trial_scheduler = _fast_pruner
+    # identical iteration caps for the sequential path (which reads
+    # stoppers()) and the parallel path (max_iterations=8 below)
+    cfg.stoppers = lambda: StopperSpec(patience=8, max_iters=8)
+    return cfg
+
+
+def test_parallel_pruning_matches_sequential(tmp_path):
+    """With one worker (=> sequential arrival order), the shared-rung
+    pruner must reproduce the in-process pruner's results exactly."""
+    import json
+    from egc_tpu.exp.parallel_search import run_search_parallel
+
+    cfg = _zinc_factory_pruned()
+
+    class FixedStrategy:
+        def generate(self, space, rng):
+            return [dict(c) for c in CANDIDATES]
+
+    seq_best = run_search(cfg, tmp_path / "seq", strategy=FixedStrategy(),
+                          verbose=False)
+    seq = json.loads((tmp_path / "seq" / "search_results.json").read_text())
+
+    par_best = run_search_parallel(
+        ("tests.test_search", "_zinc_factory_pruned", (), {}),
+        [dict(c) for c in CANDIDATES], metric_mode="min",
+        metric_name="val_loss", num_workers=1, exp_dir=tmp_path / "par",
+        scheduler=_fast_pruner(), max_iterations=8)
+    par = json.loads((tmp_path / "par" / "search_results.json").read_text())
+
+    assert par_best == seq_best
+    for s, p in zip(seq["results"], par["results"]):
+        assert s["hparams"] == p["hparams"]
+        np.testing.assert_allclose(p["best_val"], s["best_val"], rtol=1e-6)
+        assert p["best_iter"] == s["best_iter"]
+
+
+def test_parallel_pruning_aborts_bad_trials(tmp_path):
+    """With 2 workers the divergent candidate must get pruned at a rung
+    (stopped early) rather than run to patience."""
+    import json
+    from egc_tpu.exp.parallel_search import run_search_parallel
+
+    best = run_search_parallel(
+        ("tests.test_search", "_zinc_factory_pruned", (), {}),
+        [dict(c) for c in CANDIDATES], metric_mode="min",
+        metric_name="val_loss", num_workers=2, exp_dir=tmp_path,
+        scheduler=_fast_pruner(), max_iterations=12)
+    assert best["lr"] in (1e-3, 8e-4)
+    res = json.loads((tmp_path / "search_results.json").read_text())
+    rows = {r["hparams"]["lr"]: r for r in res["results"]}
+    assert rows[9.0]["pruned"] is True
+    assert rows[9.0]["best_iter"] < 11
