@@ -129,6 +129,24 @@ def main():
     sol_measured = clock_ghz * 1e9 / (floor_cy * passes)
     vs_measured = edges_per_s / sol_measured
 
+    # Config-aware access floor (round 3): the sweeps are bound by the
+    # 10.4 cy loop base plus ~0.85 cy per [1,128]-register access beyond
+    # the first read (anchored on measured sweeps: h128 3-prim fwd
+    # 12.8 cy / bwd 14.9; h136 wide fwd 14.3 / bwd 19.8). Accesses per
+    # edge: fwd = value read (F/128 regs) + one RMW per primitive;
+    # bwd = packed-coeff read (K*F/128) + value read + RMW.
+    from egc_tpu.ops.dispatch import _plan_prims
+    from egc_tpu.ops.segment import canonical_aggr
+    aggrs_canon = tuple(canonical_aggr(a) for a in args.aggrs.split(","))
+    prims, nsegs = _plan_prims(aggrs_canon)
+    f_regs = max(1, -(-bl // 128))               # value width in registers
+    fwd_units = f_regs + len(prims) * f_regs - 1
+    needs_v = bool({"sumsq", "max", "min"} & set(prims))
+    bwd_units = nsegs * f_regs + needs_v * f_regs + f_regs - 1
+    cfg_floor_cy = (10.4 + 0.85 * fwd_units) + (10.4 + 0.85 * bwd_units)
+    sol_config = clock_ghz * 1e9 / (cfg_floor_cy * num_layers)
+    vs_config = edges_per_s / sol_config
+
     print(json.dumps({
         "metric": "egc_m_arxiv_train_edges_per_s_per_chip",
         "value": round(edges_per_s, 1),
@@ -140,6 +158,8 @@ def main():
         "sol_edges_per_s": round(sol_edges_per_s, 1),
         "vs_measured_floor": round(vs_measured, 4),
         "measured_floor_edges_per_s": round(sol_measured, 1),
+        "vs_config_floor": round(vs_config, 4),
+        "config_floor_edges_per_s": round(sol_config, 1),
         "bandwidth_sol_edges_per_s": round(bw_sol_edges_per_s, 1),
     }), flush=True)
 

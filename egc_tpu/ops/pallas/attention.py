@@ -924,15 +924,23 @@ def _v2_bwd_t_kernel_tp(cell_ptr_ref,
                         cof_win, src_blk, att_in, fold_in,
                         senders_hbm, receivers_hbm,
                         out_hbm,
-                        acc, stage1, stage2, estage1, estage2,
+                        acc, stage1, stage2, s_me, s_go, s_alrp,
+                        estage1, estage2,
                         sidx, ridx, sem_idx, sem_w, seq_ref, sem_out,
                         *,
                         heads: int, cp: int, slope: float,
                         block_rows: int, window_rows: int, chunk: int,
                         s_blocks: int):
     """Transpose pass: d_whl per ORIGINAL SENDER (= this plan's receiver).
-    Stages s1 = lrelu(z)*att and s2 = g_o*wl; folds both with one MXU
-    matmul each per tile."""
+
+    FULLY-STAGED tiles (round 3): the stage loop copies every per-edge
+    input the gradient needs (lr*att, g_o*wl, m, g_o, att*lrelu') into
+    [T, hcp] scratch, the fold AND the whole gradient formula run as
+    batched tile-level ops (2 MXU matmuls + 4 vector ops), and the
+    accumulate loop shrinks to one static read + one RMW — the acc phase
+    previously re-read the 3*hcp coeff row and wl per edge and recomputed
+    exp/multiplies at [1, hcp] (~48 cy/edge measured for the pass;
+    VERDICT r2 item 4)."""
     from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
@@ -962,6 +970,10 @@ def _v2_bwd_t_kernel_tp(cell_ptr_ref,
                 lr = jnp.where(z >= 0, z, slope * z)
                 stage1[pl.ds(k, 1), :] = lr * attv
                 stage2[pl.ds(k, 1), :] = g_o * wl
+                s_me[pl.ds(k, 1), :] = row_cof[:, 2 * hcp:3 * hcp]
+                s_go[pl.ds(k, 1), :] = g_o
+                s_alrp[pl.ds(k, 1), :] = attv * \
+                    jnp.where(z >= 0, 1.0, slope)
                 return 0
 
             jax.lax.fori_loop(0, V2_TILE, stage_body, 0)
@@ -971,20 +983,14 @@ def _v2_bwd_t_kernel_tp(cell_ptr_ref,
             estage2[:] = jax.lax.dot_general(
                 stage2[:], fold, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            # whole-tile gradient: d_wl = ah*g_o + (ah*e2)*att*lrelu'
+            ah = jnp.exp(estage1[:] - s_me[:])
+            estage1[:] = ah * s_go[:] + (ah * estage2[:]) * s_alrp[:]
 
             def acc_body(k, _):
-                row_cof = cof_win[pl.ds(sidx[t0 + k] - col0, 1), :]
                 r = ridx[t0 + k] - row0
-                wl = src_blk[pl.ds(r, 1), :]
-                g_o = row_cof[:, :hcp]
-                wr = row_cof[:, hcp:2 * hcp]
-                m_e = row_cof[:, 2 * hcp:3 * hcp]
-                ah = jnp.exp(estage1[pl.ds(k, 1), :] - m_e)
-                de = ah * estage2[pl.ds(k, 1), :]
-                z = wl + wr
-                lrp = jnp.where(z >= 0, 1.0, slope)
-                d_wl = ah * g_o + de * attv * lrp
-                acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + d_wl
+                acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
+                    estage1[pl.ds(k, 1), :]
                 return 0
 
             jax.lax.fori_loop(0, V2_TILE, acc_body, 0)
@@ -1018,15 +1024,25 @@ def _v2_bwd_t_kernel_tp(cell_ptr_ref,
 def _v2_bwd_f_kernel_tp(cell_ptr_ref,
                         src_win, cof_blk, att_in, fold_in,
                         senders_hbm, receivers_hbm,
-                        out_hbm,
-                        acc, stage1, stage2, estage1, estage2,
+                        out_hbm, datt_hbm,
+                        acc, datt_acc, stage1, stage2, s_me, s_alrp, s_lr,
+                        estage1, estage2,
                         sidx, ridx, sem_idx, sem_w, seq_ref, sem_out,
                         *,
                         heads: int, cp: int, slope: float,
                         block_rows: int, window_rows: int, chunk: int,
                         s_blocks: int):
-    """Forward-direction pass: per-RECEIVER [dz_term | datt] accumulation
-    (d_whr and the attention-vector gradient rows)."""
+    """Forward-direction pass: per-RECEIVER d_whr (dz_term) accumulation
+    plus the attention-vector gradient.
+
+    FULLY-STAGED tiles (round 3, see _v2_bwd_t_kernel_tp): dz_term is
+    computed for the whole tile as vector ops and the acc loop is one
+    static read + one hcp-wide RMW. The att gradient no longer rides a
+    per-receiver 2*hcp accumulation at all: datt = de * lrelu(z) only
+    ever gets REDUCED (sum over all edges), so each tile folds it with
+    one [T, hcp] -> [1, hcp] sum into a single accumulator row, emitted
+    per row block (datt_hbm [r_blocks*8, hcp]; the wrapper sums rows) —
+    halving the RMW width and dropping the per-edge concatenate."""
     from egc_tpu.ops.pallas.gather_reduce import _chunk_sweep
 
     hcp = heads * cp
@@ -1040,6 +1056,7 @@ def _v2_bwd_f_kernel_tp(cell_ptr_ref,
     @pl.when(s == 0)
     def _():
         acc[:] = jnp.zeros_like(acc)
+        datt_acc[:] = jnp.zeros_like(datt_acc)
 
     def process_chunk(base, lo, n_e):
         n_full = (n_e - lo) // V2_TILE
@@ -1056,6 +1073,10 @@ def _v2_bwd_f_kernel_tp(cell_ptr_ref,
                 lr = jnp.where(z >= 0, z, slope * z)
                 stage1[pl.ds(k, 1), :] = lr * attv
                 stage2[pl.ds(k, 1), :] = g_o * wl
+                s_me[pl.ds(k, 1), :] = row_cof[:, 2 * hcp:3 * hcp]
+                s_alrp[pl.ds(k, 1), :] = attv * \
+                    jnp.where(z >= 0, 1.0, slope)
+                s_lr[pl.ds(k, 1), :] = lr
                 return 0
 
             jax.lax.fori_loop(0, V2_TILE, stage_body, 0)
@@ -1065,22 +1086,16 @@ def _v2_bwd_f_kernel_tp(cell_ptr_ref,
             estage2[:] = jax.lax.dot_general(
                 stage2[:], fold, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
+            # whole-tile: de = ah*e2; dz = de*att*lrelu'; datt = de*lr
+            de = jnp.exp(estage1[:] - s_me[:]) * estage2[:]
+            estage1[:] = de * s_alrp[:]
+            datt_acc[0:1, :] = datt_acc[0:1, :] + jnp.sum(
+                de * s_lr[:], axis=0, keepdims=True)
 
             def acc_body(k, _):
-                wl = src_win[pl.ds(sidx[t0 + k] - col0, 1), :]
                 r = ridx[t0 + k] - row0
-                row_cof = cof_blk[pl.ds(r, 1), :]
-                wr = row_cof[:, hcp:2 * hcp]
-                m_e = row_cof[:, 2 * hcp:3 * hcp]
-                ah = jnp.exp(estage1[pl.ds(k, 1), :] - m_e)
-                de = ah * estage2[pl.ds(k, 1), :]
-                z = wl + wr
-                lr = jnp.where(z >= 0, z, slope * z)
-                lrp = jnp.where(z >= 0, 1.0, slope)
-                dz_term = de * attv * lrp
-                datt = de * lr
                 acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
-                    jnp.concatenate([dz_term, datt], axis=1)
+                    estage1[pl.ds(k, 1), :]
                 return 0
 
             jax.lax.fori_loop(0, V2_TILE, acc_body, 0)
@@ -1094,8 +1109,8 @@ def _v2_bwd_f_kernel_tp(cell_ptr_ref,
             row_cof = cof_blk[pl.ds(r, 1), :]
             _dwl, dz_term, datt = _v2_edge_grad(wl, row_cof, attv, fold,
                                                 heads, hcp, slope)
-            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + \
-                jnp.concatenate([dz_term, datt], axis=1)
+            acc[pl.ds(r, 1), :] = acc[pl.ds(r, 1), :] + dz_term
+            datt_acc[0:1, :] = datt_acc[0:1, :] + datt
             return 0
 
         jax.lax.fori_loop(lo + n_full * V2_TILE, n_e, tail_body, 0)
@@ -1108,21 +1123,42 @@ def _v2_bwd_f_kernel_tp(cell_ptr_ref,
     def _():
         cp_o = pltpu.make_async_copy(
             acc, out_hbm.at[pl.ds(row0, block_rows)], sem_out.at[0])
+        cp_d = pltpu.make_async_copy(
+            datt_acc, datt_hbm.at[pl.ds(i * 8, 8)], sem_out.at[1])
         cp_o.start()
+        cp_d.start()
         cp_o.wait()
+        cp_d.wait()
 
 
-def _v2_edge_pass_tp(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
-                     out_width, *, heads, cp, slope, chunk=V2_CHUNK):
-    """pallas_call wrapper for the two-phase backward passes: output in
-    ANY, single-buffered accumulator + [T, hcp] stage scratch."""
-    hcp = heads * cp
+def _v2_pass_grid(plan_dev, win_arr, blk_arr, chunk):
     senders = plan_dev.senders
     receivers = plan_dev.receivers
     e = senders.shape[0]
     pad = (chunk - e % chunk) % chunk + chunk
     senders = jnp.pad(senders, (0, pad))
     receivers = jnp.pad(receivers, (0, pad))
+    in_specs = [
+        pl.BlockSpec((plan_dev.window_rows, win_arr.shape[1]),
+                     lambda i, s, *_: (s, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((plan_dev.block_rows, blk_arr.shape[1]),
+                     lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # att (replicated)
+        pl.BlockSpec(memory_space=pltpu.VMEM),    # FOLD matrix
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    return senders, receivers, in_specs
+
+
+def _v2_edge_pass_tp(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
+                     out_width, *, heads, cp, slope, chunk=V2_CHUNK):
+    """pallas_call wrapper for the two-phase TRANSPOSE backward pass
+    (d_whl): output in ANY, single-buffered accumulator + fully-staged
+    [T, hcp] tile scratch (stage1/stage2/m/g_o/att*lrelu' + 2 folds)."""
+    hcp = heads * cp
+    senders, receivers, in_specs = _v2_pass_grid(plan_dev, win_arr,
+                                                 blk_arr, chunk)
     kernel = functools.partial(
         kernel_fn, heads=heads, cp=cp, slope=slope,
         block_rows=plan_dev.block_rows, window_rows=plan_dev.window_rows,
@@ -1130,23 +1166,12 @@ def _v2_edge_pass_tp(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(plan_dev.r_blocks, plan_dev.s_blocks),
-        in_specs=[
-            pl.BlockSpec((plan_dev.window_rows, win_arr.shape[1]),
-                         lambda i, s, *_: (s, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((plan_dev.block_rows, blk_arr.shape[1]),
-                         lambda i, s, *_: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # att (replicated)
-            pl.BlockSpec(memory_space=pltpu.VMEM),    # FOLD matrix
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((plan_dev.block_rows, out_width), win_arr.dtype),
-            pltpu.VMEM((V2_TILE, hcp), win_arr.dtype),
-            pltpu.VMEM((V2_TILE, hcp), win_arr.dtype),
-            pltpu.VMEM((V2_TILE, hcp), win_arr.dtype),
-            pltpu.VMEM((V2_TILE, hcp), win_arr.dtype),
+        ] + [pltpu.VMEM((V2_TILE, hcp), win_arr.dtype) for _ in range(7)]
+        + [
             pltpu.SMEM((2 * chunk,), jnp.int32),
             pltpu.SMEM((2 * chunk,), jnp.int32),
             pltpu.SemaphoreType.DMA((4,)),
@@ -1159,6 +1184,47 @@ def _v2_edge_pass_tp(kernel_fn, win_arr, blk_arr, att_rep, fold, plan_dev,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_out, out_width), win_arr.dtype),
+    )(plan_dev.cell_ptr, win_arr, blk_arr, att_rep, fold, senders,
+      receivers)
+
+
+def _v2_edge_pass_tp_f(kernel_fn, win_arr, blk_arr, att_rep, fold,
+                       plan_dev, *, heads, cp, slope, chunk=V2_CHUNK):
+    """Two-phase FORWARD-direction backward pass: returns
+    (d_whr [n, hcp], datt_rows [r_blocks*8, hcp]) — see
+    _v2_bwd_f_kernel_tp."""
+    hcp = heads * cp
+    senders, receivers, in_specs = _v2_pass_grid(plan_dev, win_arr,
+                                                 blk_arr, chunk)
+    kernel = functools.partial(
+        kernel_fn, heads=heads, cp=cp, slope=slope,
+        block_rows=plan_dev.block_rows, window_rows=plan_dev.window_rows,
+        chunk=chunk, s_blocks=plan_dev.s_blocks)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan_dev.r_blocks, plan_dev.s_blocks),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((plan_dev.block_rows, hcp), win_arr.dtype),
+            pltpu.VMEM((8, hcp), win_arr.dtype),       # datt accumulator
+        ] + [pltpu.VMEM((V2_TILE, hcp), win_arr.dtype) for _ in range(7)]
+        + [
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    n_out = plan_dev.r_blocks * plan_dev.block_rows
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((n_out, hcp), win_arr.dtype),
+                   jax.ShapeDtypeStruct((plan_dev.r_blocks * 8, hcp),
+                                        win_arr.dtype)),
     )(plan_dev.cell_ptr, win_arr, blk_arr, att_rep, fold, senders,
       receivers)
 
@@ -1296,9 +1362,9 @@ def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
             d_whl = _v2_edge_pass_tp(
                 _v2_bwd_t_kernel_tp, coeff, whl, att_rep, fold,
                 plan.bwd_v2, hcp, heads=heads, cp=cp, slope=slope)
-            fpass = _v2_edge_pass_tp(
+            d_whr, d_att_rows = _v2_edge_pass_tp_f(
                 _v2_bwd_f_kernel_tp, whl, coeff, att_rep, fold,
-                plan.fwd_v2, 2 * hcp, heads=heads, cp=cp, slope=slope)
+                plan.fwd_v2, heads=heads, cp=cp, slope=slope)
         else:
             d_whl = _v2_edge_pass(_v2_bwd_t_kernel, coeff, whl, att_rep,
                                   fold, plan.bwd_attn, hcp, heads=heads,
@@ -1306,8 +1372,8 @@ def _gatv2_attention_cached(heads: int, cp: int, dchan: int, slope: float):
             fpass = _v2_edge_pass(_v2_bwd_f_kernel, whl, coeff, att_rep,
                                   fold, plan.fwd_attn, 2 * hcp,
                                   heads=heads, cp=cp, slope=slope)
-        d_whr = fpass[:, :hcp]
-        d_att_rows = fpass[:, hcp:]
+            d_whr = fpass[:, :hcp]
+            d_att_rows = fpass[:, hcp:]
         d_att = jnp.sum(d_att_rows, axis=0, keepdims=True)
         d_att_rep = jnp.broadcast_to(d_att, att_rep.shape) / att_rep.shape[0]
         # att_rep rows are replicas of one vector: route the full cotangent

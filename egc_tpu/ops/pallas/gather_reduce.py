@@ -333,16 +333,33 @@ def _chunk_blocking(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
 
 
 def _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
-                 sem_idx, sem_w, seq_ref, streams, process_chunk):
-    """Edge-chunk sweep used by the attention kernels: cross-cell pipeline
-    by default, blocking scheme when EGC_TPU_ATTN_BLOCKING=1 (trace-time
-    switch for A/B measurement on hardware)."""
+                 sem_idx, sem_w, seq_ref, streams, process_chunk,
+                 pipeline: bool = True):
+    """Edge-chunk sweep: cross-cell pipeline or blocking per-chunk DMAs.
+
+    The pipeline hides the chunk-DMA round trip that costs ~a microsecond
+    per grid cell — a win on THIN-cell grids (attention plans <100
+    edges/cell; the wide-mode narrow transpose plan ~170), but measured a
+    LOSS on dense grids (~670 edges/cell: headline EGC h128 regressed
+    0.232 -> 0.266 s with it), where the round trip amortizes and the
+    pipeline's per-chunk branch/bookkeeping dominates. Callers pick via
+    ``pipeline`` (see ``_want_pipeline``); EGC_TPU_ATTN_BLOCKING=1 forces
+    blocking everywhere for A/B runs on hardware."""
     import os
     impl = (_chunk_blocking
-            if os.environ.get("EGC_TPU_ATTN_BLOCKING", "0") == "1"
+            if (not pipeline
+                or os.environ.get("EGC_TPU_ATTN_BLOCKING", "0") == "1")
             else _chunk_pipeline)
     return impl(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
                 sem_idx, sem_w, seq_ref, streams, process_chunk)
+
+
+def _want_pipeline(num_edges: int, r_blocks: int, s_blocks: int,
+                   threshold: int = 256) -> bool:
+    """Thin-cell grids (< threshold mean edges/cell) take the cross-cell
+    chunk pipeline; dense grids keep the blocking scheme (measured
+    faster there — see _chunk_sweep)."""
+    return num_edges < threshold * r_blocks * s_blocks
 
 
 def _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
@@ -436,15 +453,13 @@ def _windowed_kernel(cell_ptr_ref,
                      *refs,
                      ops: Tuple[str, ...], block_rows: int,
                      window_rows: int, chunk: int, f: int, has_w: bool,
-                     s_blocks: int):
+                     s_blocks: int, pipeline: bool = False):
     n_out = len(ops)
     outs = refs[:n_out]
-    (sidx, ridx, wbuf, sem_idx, sem_w) = refs[n_out:]
+    (sidx, ridx, wbuf, sem_idx, sem_w, seq_ref) = refs[n_out:]
 
     i = pl.program_id(0)
     s = pl.program_id(1)
-    start = cell_ptr_ref[i * s_blocks + s]
-    end = cell_ptr_ref[i * s_blocks + s + 1]
     row0 = i * block_rows
     col0 = s * window_rows
 
@@ -458,37 +473,16 @@ def _windowed_kernel(cell_ptr_ref,
             else:
                 o[:] = jnp.zeros_like(o)
 
-    first_chunk = start // chunk
-    num_chunks = pl.cdiv(end, chunk) - first_chunk
-
-    def chunk_body(c, _):
-        c0 = pl.multiple_of((first_chunk + c) * chunk, chunk)
-        lo = jnp.maximum(start - c0, 0)
-        n_e = jnp.minimum(end - c0, chunk)
-
-        cp_s = pltpu.make_async_copy(
-            senders_hbm.at[pl.ds(c0, chunk)], sidx, sem_idx.at[0])
-        cp_r = pltpu.make_async_copy(
-            receivers_hbm.at[pl.ds(c0, chunk)], ridx, sem_idx.at[1])
-        cp_s.start()
-        cp_r.start()
-        if has_w:
-            cp_w = pltpu.make_async_copy(
-                edge_w_hbm.at[pl.ds(c0, chunk)], wbuf, sem_w)
-            cp_w.start()
-            cp_w.wait()
-        cp_s.wait()
-        cp_r.wait()
-
+    def process_chunk(base, lo, n_e):
         def body(j, _):
-            row = vals_win[pl.ds(sidx[j] - col0, 1), :]   # [1, F] from VMEM
-            r = ridx[j] - row0
+            row = vals_win[pl.ds(sidx[base + j] - col0, 1), :]   # [1, F]
+            r = ridx[base + j] - row0
             for op, o in zip(ops, outs):
                 cur = o[pl.ds(r, 1), :]
                 if op == "sum":
                     o[pl.ds(r, 1), :] = cur + row
                 elif op == "wsum":
-                    o[pl.ds(r, 1), :] = cur + row * wbuf[j]
+                    o[pl.ds(r, 1), :] = cur + row * wbuf[base + j]
                 elif op == "sumsq":
                     o[pl.ds(r, 1), :] = cur + row * row
                 elif op == "max":
@@ -498,9 +492,12 @@ def _windowed_kernel(cell_ptr_ref,
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
-        return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                 sem_idx, sem_w, seq_ref,
+                 (senders_hbm, receivers_hbm,
+                  edge_w_hbm if has_w else None), process_chunk,
+                 pipeline=pipeline)
 
     @pl.when(s == s_blocks - 1)
     def _():
@@ -564,12 +561,13 @@ def windowed_gather_reduce(
         scratch = (
             [pltpu.VMEM((block_rows, f), vals.dtype) for _ in ops]
             + [
-                pltpu.SMEM((chunk,), jnp.int32),
-                pltpu.SMEM((chunk,), jnp.int32),
-                pltpu.SMEM((chunk,), vals.dtype),
+                pltpu.SMEM((2 * chunk,), jnp.int32),
+                pltpu.SMEM((2 * chunk,), jnp.int32),
+                pltpu.SMEM((2 * chunk,), vals.dtype),
+                pltpu.SemaphoreType.DMA((4,)),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((1,)),
                 pltpu.SemaphoreType.DMA((len(ops),)),
+                pltpu.SMEM((1,), jnp.int32),           # global chunk seq
             ])
     else:
         kernel = functools.partial(
@@ -581,11 +579,12 @@ def windowed_gather_reduce(
                          memory_space=pltpu.VMEM)
             for _ in ops)
         scratch = [
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), vals.dtype),
+            pltpu.SMEM((2 * chunk,), jnp.int32),       # sidx (2 slots)
+            pltpu.SMEM((2 * chunk,), jnp.int32),       # ridx
+            pltpu.SMEM((2 * chunk,), vals.dtype),      # wbuf
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((1,), jnp.int32),               # global chunk seq
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -631,11 +630,12 @@ def _windowed_kernel_wide(cell_ptr_ref,
                           *refs,
                           ops: Tuple[str, ...], block_rows: int,
                           window_rows: int, chunk: int, f: int, has_w: bool,
-                          s_blocks: int):
+                          s_blocks: int, pipeline: bool = False):
     n_out = len(ops)
     outs_hbm = refs[:n_out]
     accs = refs[n_out:2 * n_out]
-    (sidx, ridx, wbuf, sem_idx, sem_w, sem_out) = refs[2 * n_out:]
+    (sidx, ridx, wbuf, sem_idx, sem_w, sem_out, seq_ref) = \
+        refs[2 * n_out:]
 
     i = pl.program_id(0)
     s = pl.program_id(1)
@@ -672,10 +672,11 @@ def _windowed_kernel_wide(cell_ptr_ref,
 
         jax.lax.fori_loop(lo, n_e, body, 0)
 
-    _chunk_blocking(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
-                    sem_idx, sem_w, None,
-                    (senders_hbm, receivers_hbm,
-                     edge_w_hbm if has_w else None), process_chunk)
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                 sem_idx, sem_w, seq_ref,
+                 (senders_hbm, receivers_hbm,
+                  edge_w_hbm if has_w else None), process_chunk,
+                 pipeline=pipeline)
 
     @pl.when(s == s_blocks - 1)
     def _():
@@ -716,15 +717,13 @@ def _windowed_kernel_wide(cell_ptr_ref,
 def _windowed_bwd_kernel(cell_ptr_ref,
                          coeff_win, vals_blk, senders_hbm, receivers_hbm,
                          edge_w_hbm, out,
-                         sidx, ridx, wbuf, sem_idx, sem_w,
+                         sidx, ridx, wbuf, sem_idx, sem_w, seq_ref,
                          *,
                          segs: Tuple[str, ...], block_rows: int,
                          window_rows: int, chunk: int, f: int, has_w: bool,
-                         s_blocks: int):
+                         s_blocks: int, pipeline: bool = False):
     i = pl.program_id(0)
     s = pl.program_id(1)
-    start = cell_ptr_ref[i * s_blocks + s]
-    end = cell_ptr_ref[i * s_blocks + s + 1]
     row0 = i * block_rows
     col0 = s * window_rows
     pos = {name: k for k, name in enumerate(segs)}
@@ -733,38 +732,17 @@ def _windowed_bwd_kernel(cell_ptr_ref,
     def _():
         out[:] = jnp.zeros_like(out)
 
-    first_chunk = start // chunk
-    num_chunks = pl.cdiv(end, chunk) - first_chunk
-
-    def chunk_body(c, _):
-        c0 = pl.multiple_of((first_chunk + c) * chunk, chunk)
-        lo = jnp.maximum(start - c0, 0)
-        n_e = jnp.minimum(end - c0, chunk)
-
-        cp_s = pltpu.make_async_copy(
-            senders_hbm.at[pl.ds(c0, chunk)], sidx, sem_idx.at[0])
-        cp_r = pltpu.make_async_copy(
-            receivers_hbm.at[pl.ds(c0, chunk)], ridx, sem_idx.at[1])
-        cp_s.start()
-        cp_r.start()
-        if has_w:
-            cp_w = pltpu.make_async_copy(
-                edge_w_hbm.at[pl.ds(c0, chunk)], wbuf, sem_w)
-            cp_w.start()
-            cp_w.wait()
-        cp_s.wait()
-        cp_r.wait()
-
+    def process_chunk(base, lo, n_e):
         def body(j, _):
             # coeff row at the (windowed) original receiver
-            crow = coeff_win[pl.ds(sidx[j] - col0, 1), :]   # [1, K*F]
-            r = ridx[j] - row0                              # output row
+            crow = coeff_win[pl.ds(sidx[base + j] - col0, 1), :]  # [1, K*F]
+            r = ridx[base + j] - row0                             # output row
             contrib = jnp.zeros((1, f), crow.dtype)
             if "c_sum" in pos:
                 contrib += crow[:, pos["c_sum"] * f:(pos["c_sum"] + 1) * f]
             if "c_wsum" in pos:
                 contrib += crow[:, pos["c_wsum"] * f:
-                                (pos["c_wsum"] + 1) * f] * wbuf[j]
+                                (pos["c_wsum"] + 1) * f] * wbuf[base + j]
             needs_v = ("c_sumsq2" in pos or "c_max" in pos or "c_min" in pos)
             if needs_v:
                 v = vals_blk[pl.ds(r, 1), :]
@@ -783,20 +761,24 @@ def _windowed_bwd_kernel(cell_ptr_ref,
             return 0
 
         jax.lax.fori_loop(lo, n_e, body, 0)
-        return 0
 
-    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                 sem_idx, sem_w, seq_ref,
+                 (senders_hbm, receivers_hbm,
+                  edge_w_hbm if has_w else None), process_chunk,
+                 pipeline=pipeline)
 
 
 def _windowed_bwd_kernel_wide(cell_ptr_ref,
                               coeff_win, vals_hbm, senders_hbm,
                               receivers_hbm, edge_w_hbm, out_hbm,
                               vals_blk, out_acc, sidx, ridx, wbuf,
-                              sem_idx, sem_w, sem_v, sem_out,
+                              sem_idx, sem_w, sem_v, sem_out, seq_ref,
                               *,
                               segs: Tuple[str, ...], block_rows: int,
                               window_rows: int, chunk: int, f: int,
-                              has_w: bool, s_blocks: int):
+                              has_w: bool, s_blocks: int,
+                              pipeline: bool = False):
     """Wide-lane backward: the [block_rows, F] gradient accumulator and the
     stationary forward-input block both live in single-buffered scratch
     (vals arrives by ONE manual DMA per row block; the gradient leaves the
@@ -846,10 +828,11 @@ def _windowed_bwd_kernel_wide(cell_ptr_ref,
 
         jax.lax.fori_loop(lo, n_e, body, 0)
 
-    _chunk_blocking(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
-                    sem_idx, sem_w, None,
-                    (senders_hbm, receivers_hbm,
-                     edge_w_hbm if has_w else None), process_chunk)
+    _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
+                 sem_idx, sem_w, seq_ref,
+                 (senders_hbm, receivers_hbm,
+                  edge_w_hbm if has_w else None), process_chunk,
+                 pipeline=pipeline)
 
     @pl.when(s == s_blocks - 1)
     def _():
@@ -903,13 +886,14 @@ def windowed_gather_reduce_bwd(
         scratch = [
             pltpu.VMEM((block_rows, f), vals.dtype),   # stationary vals
             pltpu.VMEM((block_rows, f), vals.dtype),   # gradient accumulator
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), vals.dtype),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), vals.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
             pltpu.SemaphoreType.DMA(()),               # vals fetch
             pltpu.SemaphoreType.DMA(()),               # out store
+            pltpu.SMEM((1,), jnp.int32),               # global chunk seq
         ]
     else:
         kernel = functools.partial(
@@ -921,11 +905,12 @@ def windowed_gather_reduce_bwd(
         out_spec = pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
                                 memory_space=pltpu.VMEM)
         scratch = [
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), jnp.int32),
-            pltpu.SMEM((chunk,), vals.dtype),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), jnp.int32),
+            pltpu.SMEM((2 * chunk,), vals.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SMEM((1,), jnp.int32),               # global chunk seq
         ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

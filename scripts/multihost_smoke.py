@@ -1,0 +1,142 @@
+"""2-process ``jax.distributed`` smoke test — mesh-over-DCN bring-up.
+
+Makes docs/SCALING.md's multi-host recipe executable without TPU pods: two
+OS processes each own 4 virtual CPU devices, ``jax.distributed.initialize``
+wires them into one 8-device runtime, and a global ``data``-axis mesh runs
+(a) a psum sanity collective and (b) ONE data-parallel batched train step
+with globally-sharded inputs (``jax.make_array_from_single_device_arrays``
+from per-process microbatches — the exact multi-host pattern for the DP
+path, egc_tpu.parallel.dp).
+
+Usage:  python scripts/multihost_smoke.py            # launcher (spawns 2)
+        python scripts/multihost_smoke.py --worker I # internal
+
+Prints one JSON line: {"ok": true, "loss": ..., "psum": 8.0}.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PORT = int(os.environ.get("EGC_TPU_SMOKE_PORT", "43219"))
+NPROC = 2
+LOCAL_DEVICES = 4
+
+
+def worker(pid: int):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                               f" --xla_force_host_platform_device_count="
+                               f"{LOCAL_DEVICES}").strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+                               num_processes=NPROC, process_id=pid)
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+    assert jax.device_count() == NPROC * LOCAL_DEVICES, jax.device_count()
+    assert jax.process_count() == NPROC
+    devices = np.array(jax.devices()).reshape(NPROC * LOCAL_DEVICES)
+    mesh = Mesh(devices, ("data",))
+
+    try:
+        from jax import shard_map as sm
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as sm
+
+    # (a) collective sanity: psum of ones over the global mesh
+    def ones_psum(x):
+        return jax.lax.psum(x, "data")
+
+    sharding = NamedSharding(mesh, P("data"))
+    local = [jax.device_put(jnp.ones((1,)), d) for d in jax.local_devices()]
+    xs = jax.make_array_from_single_device_arrays(
+        (NPROC * LOCAL_DEVICES,), sharding, local)
+    total = jax.jit(sm(ones_psum, mesh=mesh, in_specs=P("data"),
+                       out_specs=P("data")))(xs)
+    psum_val = float(np.asarray(
+        jax.experimental.multihost_utils.process_allgather(
+            total, tiled=True))[0])
+
+    # (b) one DP batched train step with globally-sharded microbatches
+    from egc_tpu.data import synthetic
+    from egc_tpu.graph.structure import batch_np
+    from egc_tpu.models.nets import ConvSpec, ZincNet
+    from egc_tpu.parallel import make_mesh, make_dp_train_step, \
+        stack_microbatches
+    from egc_tpu.train.optim import make_optimizer
+    from egc_tpu.train.state import TrainState
+
+    n_dev = NPROC * LOCAL_DEVICES
+    splits = synthetic.synthetic_zinc(num_graphs=4 * n_dev)
+    graphs = splits["train"][:2 * n_dev]
+    micro = [batch_np(graphs[2 * d:2 * d + 2], num_nodes=80, num_edges=256,
+                      num_graphs=3) for d in range(n_dev)]
+    sg, sy = stack_microbatches(micro)   # leaves [n_dev, ...]
+
+    def to_global(x):
+        x = np.asarray(x)
+        shard_spec = NamedSharding(mesh, P("data"))
+        locs = []
+        for k, d in enumerate(jax.local_devices()):
+            g = pid * LOCAL_DEVICES + k
+            locs.append(jax.device_put(jnp.asarray(x[g:g + 1]), d))
+        return jax.make_array_from_single_device_arrays(
+            x.shape, shard_spec, locs)
+
+    sg = jax.tree.map(to_global, sg)
+    sy = to_global(np.asarray(sy))
+
+    conv = ConvSpec(kind="egc", heads=2, bases=2, aggrs=("symnorm",),
+                    softmax=True)
+    net = ZincNet(conv=conv, hidden_dim=16, num_layers=2, residual=True,
+                  bn_axis="data")
+    g0 = jax.tree.map(jnp.asarray, micro[0][0])
+    variables = net.init(jax.random.key(1), g0, train=False)
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"],
+                              tx=make_optimizer(1e-3, 1e-4))
+    dmesh = make_mesh({"data": n_dev})
+
+    def loss_sum(out, y, graph):
+        err = jnp.abs(out.reshape(-1) - y.reshape(-1).astype(out.dtype))
+        m = graph.graph_mask.astype(out.dtype)
+        return jnp.sum(err * m), jnp.sum(m)
+
+    step = make_dp_train_step(net, loss_sum, dmesh)
+    state, loss = step(state, sg, sy, jax.random.key(0))
+    loss = float(np.asarray(
+        jax.experimental.multihost_utils.process_allgather(
+            loss.reshape(1), tiled=True)).reshape(-1)[0])
+    if pid == 0:
+        print(json.dumps({"ok": bool(np.isfinite(loss)
+                                     and psum_val == n_dev),
+                          "loss": loss, "psum": psum_val}), flush=True)
+    jax.distributed.shutdown()
+
+
+def launcher():
+    procs = []
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    for pid in range(NPROC):
+        procs.append(subprocess.Popen(
+            [sys.executable, __file__, "--worker", str(pid)], env=env,
+            stdout=None if pid == 0 else subprocess.DEVNULL,
+            stderr=subprocess.STDOUT if pid == 0 else subprocess.DEVNULL))
+    rc = [p.wait(timeout=600) for p in procs]
+    sys.exit(max(rc))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+        worker(int(sys.argv[2]))
+    else:
+        launcher()

@@ -1,15 +1,18 @@
-"""Per-op device-time breakdown of a fused attention arxiv training step.
+"""Per-op device-time breakdown of a fused EGC arxiv training step.
 
 Run: env PYTHONPATH=/root/repo:/root/.axon_site python -u \
-    scripts/profile_v2_step.py [gatv2|gat] [hidden]
+    scripts/profile_egc_step.py [hidden] [aggrs-csv]
+
+(profile_v2_step.py's attention twin; used for the wide-lane h136 and
+6-aggregator floor-gap work, VERDICT r2 item 3.)
 """
 
 import glob
 import json
 import os
+import sys
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -19,10 +22,13 @@ from egc_tpu.models.nets import ConvSpec, ArxivNet
 from egc_tpu.train.optim import make_optimizer
 from egc_tpu.train.state import TrainState
 
-TRACE_DIR = "/tmp/v2trace"
+TRACE_DIR = "/tmp/egctrace"
 
 
 def main():
+    hidden = int(sys.argv[1]) if len(sys.argv) > 1 else 136
+    aggrs = tuple((sys.argv[2] if len(sys.argv) > 2
+                   else "symnorm,max,mean").split(","))
     raw = synthetic.synthetic_full_graph(
         num_nodes=169_343, avg_degree=14, num_classes=40, num_features=128,
         seed=0)
@@ -30,13 +36,9 @@ def main():
     g = d["graph"]
     y, tmask = d["y"], d["masks"]["train"]
 
-    import sys
-    kind = sys.argv[1] if len(sys.argv) > 1 else "gatv2"
-    hidden = int(sys.argv[2]) if len(sys.argv) > 2 else \
-        {"gatv2": 112, "gat": 152}[kind]
-    net = ArxivNet(conv=ConvSpec(kind=kind, heads=8), hidden_dim=hidden,
-                   num_layers=3, dropout=0.0, residual=True,
-                   num_features=128, num_classes=40)
+    net = ArxivNet(conv=ConvSpec(kind="egc", heads=4, bases=4, aggrs=aggrs),
+                   hidden_dim=hidden, num_layers=3, dropout=0.0,
+                   residual=True, num_features=128, num_classes=40)
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.key(0), g, train=False)
     state = TrainState.create(params=variables["params"],
@@ -62,15 +64,19 @@ def main():
     s2, _ = step(state, rng)
     jax.block_until_ready(s2)
     t0 = time.time()
+    for _ in range(5):
+        s2, loss = step(state, rng)
+    jax.block_until_ready(s2)
+    print(f"steady step: {(time.time()-t0)/5:.4f}s  h={hidden} "
+          f"aggrs={aggrs}", flush=True)
     with jax.profiler.trace(TRACE_DIR):
         s2, loss = step(state, rng)
         jax.block_until_ready(s2)
-    print(f"step under trace: {time.time()-t0:.3f}s", flush=True)
 
     os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = "python"
     from xprof.convert import raw_to_tool_data as rtd
-    xplanes = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb",
-                               recursive=True), key=os.path.getmtime)
+    xplanes = sorted(glob.glob(TRACE_DIR + "/**/*.xplane.pb", recursive=True),
+                     key=os.path.getmtime)
     data, _ = rtd.xspace_to_tool_data(
         [xplanes[-1]], "framework_op_stats", {"tqx": "out:json"})
     tables = json.loads(bytes(data))
@@ -83,7 +89,7 @@ def main():
     dev.sort(key=lambda kv: -kv[1])
     total = sum(v for _, v in dev)
     print(f"total device self-time: {total/1e3:.1f} ms")
-    for name, v in dev[:18]:
+    for name, v in dev[:20]:
         print(f"  {v/1e3:8.1f} ms  {100*v/total:5.1f}%  {name[:90]}")
 
 
