@@ -346,9 +346,11 @@ def _embedding_rules(r: _Rules, dataset: str, params: Dict[str, Any]):
         # 5 token heads fuse into one Dense (reference code/models.py:95-98)
         tp = params["token_predictors"]["kernel"]
         hidden, fused = np.shape(tp)
-        # seq_len from the torch side at import; fixed S=5 in the reference
+        # fixed S=5 in the reference (code/models.py:95-98)
         seq_len = 5
-        width = fused // seq_len
+        if fused % seq_len or hidden <= 0:
+            raise PortError(f"token_predictors kernel {tp.shape} does not "
+                            f"split into {seq_len} heads")
 
         def imp_k(sd):
             return np.concatenate(
@@ -374,7 +376,6 @@ def _embedding_rules(r: _Rules, dataset: str, params: Dict[str, Any]):
                 for w in ("weight", "bias")]
         r.add(("params", "token_predictors", "kernel"), imp_k, exp_k, keys)
         r.add(("params", "token_predictors", "bias"), imp_b, exp_b, [])
-        assert width * seq_len == fused and hidden > 0
 
 
 def _rmag_rules(r: _Rules, params, model_kind: str, *, heads, bases,

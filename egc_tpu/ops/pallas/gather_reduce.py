@@ -293,9 +293,9 @@ def _chunk_blocking(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
 
     Drop-in alternative to ``_chunk_pipeline`` with the same signature.
     The EGC gather-reduce kernels run near their measured per-edge floor
-    with this scheme (the chunk DMA round trip amortizes over the cell),
-    so it serves as the baseline when evaluating the cross-cell pipeline
-    on a new kernel/geometry (select via EGC_TPU_ATTN_BLOCKING=1)."""
+    with this scheme (the chunk DMA round trip overlaps the Pallas window
+    streaming and amortizes over the cell) — see ``_chunk_sweep`` for the
+    measured scheme comparison."""
     del seq_ref
     senders_hbm, receivers_hbm, edge_w_hbm = streams
     i = pl.program_id(0)
@@ -342,8 +342,9 @@ def _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
     edges/cell; the wide-mode narrow transpose plan ~170), but measured a
     LOSS on dense grids (~670 edges/cell: headline EGC h128 regressed
     0.232 -> 0.266 s with it), where the round trip amortizes and the
-    pipeline's per-chunk branch/bookkeeping dominates. Callers pick via
-    ``pipeline`` (see ``_want_pipeline``); EGC_TPU_ATTN_BLOCKING=1 forces
+    pipeline's per-chunk branch/bookkeeping dominates — so the EGC
+    kernels default ``pipeline=False`` and the attention kernels True
+    (both measured; PERFORMANCE.md). EGC_TPU_ATTN_BLOCKING=1 forces
     blocking everywhere for A/B runs on hardware."""
     import os
     impl = (_chunk_blocking
@@ -352,14 +353,6 @@ def _chunk_sweep(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
             else _chunk_pipeline)
     return impl(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
                 sem_idx, sem_w, seq_ref, streams, process_chunk)
-
-
-def _want_pipeline(num_edges: int, r_blocks: int, s_blocks: int,
-                   threshold: int = 256) -> bool:
-    """Thin-cell grids (< threshold mean edges/cell) take the cross-cell
-    chunk pipeline; dense grids keep the blocking scheme (measured
-    faster there — see _chunk_sweep)."""
-    return num_edges < threshold * r_blocks * s_blocks
 
 
 def _chunk_pipeline(cell_ptr_ref, chunk, s_blocks, sidx, ridx, wbuf,
