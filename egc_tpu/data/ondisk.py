@@ -45,11 +45,16 @@ def _parse_csv_bytes(data: bytes, dtype) -> np.ndarray:
     (minutes at ogbn-arxiv scale, hours at ogbn-mag scale — VERDICT r2)."""
     head = data.split(b"\n", 1)[0].strip()
     cols = head.count(b",") + 1 if head else 1
+    # exact row structure check: the native parser compacts fields, so a
+    # malformed file (empty fields) must fall through to pandas, which
+    # raises — size % cols alone lets offsetting omissions silently
+    # misalign rows (r3 review finding)
+    rows = sum(1 for ln in data.split(b"\n") if ln.strip())
 
     from egc_tpu.native import parse_csv_bytes
     flat = parse_csv_bytes(data, dtype)
-    if flat is not None and flat.size % max(cols, 1) == 0:
-        return flat.reshape(-1, cols)
+    if flat is not None and flat.size == rows * cols:
+        return flat.reshape(rows, cols)
 
     import io
     try:
@@ -80,7 +85,12 @@ def _read_csv_gz(path: Path, dtype=np.int64) -> np.ndarray:
     arr = _parse_csv_bytes(data, dtype)
     del data
     try:
-        np.save(cache, arr)
+        # atomic: concurrent readers (parallel-search workers, shared
+        # mounts) must never np.load a half-written cache. The tmp name
+        # ends in .npy so np.save does not append another suffix.
+        tmp = cache.with_name(f"{cache.name}.tmp{os.getpid()}.npy")
+        np.save(tmp, arr)
+        os.replace(tmp, cache)
     except OSError:
         pass  # read-only dataset mounts
     return arr

@@ -151,7 +151,9 @@ def run_search_parallel(
     # spawn (not fork): forking a process with an initialized JAX runtime
     # deadlocks in XLA's thread pools
     ctx = multiprocessing.get_context("spawn")
-    manager = ctx.Manager() if scheduler is not None else None
+    # a Manager is a whole server process — only pay for it when the
+    # scheduler actually carries rungs to share
+    manager = ctx.Manager() if getattr(scheduler, "rungs", None) else None
     shared = make_shared_rungs(manager, scheduler, metric_mode) \
         if manager is not None else None
     try:

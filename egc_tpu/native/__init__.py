@@ -10,9 +10,9 @@ caller falls back to pandas / numpy when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
-import sysconfig
 import threading
 from pathlib import Path
 from typing import Optional
@@ -33,20 +33,19 @@ def _cache_dir() -> Path:
 
 
 def _build(src: Path, out: Path) -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-           "-march=native", str(src), "-o", str(out), "-lpthread"]
-    try:
-        res = subprocess.run(cmd, capture_output=True, timeout=120)
-    except (OSError, subprocess.TimeoutExpired):
-        return False
-    if res.returncode != 0:
-        # retry without -march=native (portability)
-        cmd.remove("-march=native")
+    base = ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            str(src), "-o", str(out), "-lpthread"]
+    # -march=native first; retry portable flags on ANY failure (nonzero
+    # rc, missing compiler, timeout)
+    for extra in (["-march=native"], []):
+        cmd = base[:2] + extra + base[2:]
         try:
             res = subprocess.run(cmd, capture_output=True, timeout=120)
+            if res.returncode == 0 and out.exists():
+                return True
         except (OSError, subprocess.TimeoutExpired):
-            return False
-    return res.returncode == 0 and out.exists()
+            continue
+    return False
 
 
 def get_fastcsv() -> Optional[ctypes.CDLL]:
@@ -60,15 +59,26 @@ def get_fastcsv() -> Optional[ctypes.CDLL]:
         if not src.exists():
             return None
         so = _cache_dir() / "fastcsv.so"
-        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+        # content-hash staleness check: mtimes are unreliable across git
+        # clones/checkouts, and a binary built elsewhere (-march=native)
+        # must never be dlopened on this host
+        sha = hashlib.sha256(src.read_bytes()).hexdigest()
+        sha_file = Path(str(so) + ".sha")
+        fresh = (so.exists() and sha_file.exists()
+                 and sha_file.read_text().strip() == sha)
+        if not fresh:
             try:
                 so.parent.mkdir(parents=True, exist_ok=True)
             except OSError:
                 return None
             tmp = so.with_suffix(".so.tmp%d" % os.getpid())
-            if not _build(src, tmp):
-                return None
-            os.replace(tmp, so)
+            try:
+                if not _build(src, tmp):
+                    return None
+                os.replace(tmp, so)
+                sha_file.write_text(sha)
+            finally:
+                tmp.unlink(missing_ok=True)
         try:
             lib = ctypes.CDLL(str(so))
         except OSError:

@@ -17,6 +17,7 @@
 // strtod semantics (the OGB files are machine-generated; the Python
 // layer validates field counts against row/col structure).
 
+#include <charconv>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
@@ -94,10 +95,10 @@ int64_t parse_all(const char* data, int64_t len, T* out, int64_t cap,
                 while (p < end) {
                     while (p < end && is_sep(*p)) ++p;
                     if (p >= end) break;
-                    char* q;
-                    *o++ = parse_one(p, &q);
-                    // strtod may stop inside the field on malformed input;
-                    // always advance past the field
+                    const char* q = parse_one(p, end, o);
+                    ++o;
+                    // the parser may stop inside the field on malformed
+                    // input; always advance past the field
                     p = q > p ? q : p + 1;
                     while (p < end && !is_sep(*p)) ++p;
                 }
@@ -126,26 +127,44 @@ int64_t fastcsv_count(const char* data, int64_t len) {
     return n;
 }
 
+// std::from_chars: locale-INDEPENDENT (strtof/strtod honor LC_NUMERIC —
+// a comma-decimal locale silently truncates floats at the '.') and
+// bounds-checked against the buffer end. Malformed fields parse to 0
+// (the Python layer validates the exact rows*cols field count).
+
 int64_t fastcsv_parse_f32(const char* data, int64_t len, float* out,
                           int64_t cap) {
-    return parse_all<float>(data, len, out, cap, [](const char* p, char** q) {
-        return strtof(p, q);
-    });
+    return parse_all<float>(
+        data, len, out, cap,
+        [](const char* p, const char* end, float* v) {
+            auto r = std::from_chars(p, end, *v,
+                                     std::chars_format::general);
+            if (r.ec != std::errc()) *v = 0.0f;
+            return r.ptr;
+        });
 }
 
 int64_t fastcsv_parse_f64(const char* data, int64_t len, double* out,
                           int64_t cap) {
-    return parse_all<double>(data, len, out, cap, [](const char* p, char** q) {
-        return strtod(p, q);
-    });
+    return parse_all<double>(
+        data, len, out, cap,
+        [](const char* p, const char* end, double* v) {
+            auto r = std::from_chars(p, end, *v,
+                                     std::chars_format::general);
+            if (r.ec != std::errc()) *v = 0.0;
+            return r.ptr;
+        });
 }
 
 int64_t fastcsv_parse_i64(const char* data, int64_t len, int64_t* out,
                           int64_t cap) {
-    return parse_all<int64_t>(data, len, out, cap,
-                              [](const char* p, char** q) {
-                                  return strtoll(p, q, 10);
-                              });
+    return parse_all<int64_t>(
+        data, len, out, cap,
+        [](const char* p, const char* end, int64_t* v) {
+            auto r = std::from_chars(p, end, *v);
+            if (r.ec != std::errc()) *v = 0;
+            return r.ptr;
+        });
 }
 
 }  // extern "C"

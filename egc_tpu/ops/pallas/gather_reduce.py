@@ -512,6 +512,7 @@ def windowed_gather_reduce(
     edge_w: Optional[jnp.ndarray] = None,   # [E] cell-sorted
     chunk: int = 1024,
     scratch_acc: bool = False,
+    pipeline: bool = False,
 ):
     """Fused gather+reduce with VMEM-streamed sender windows.
 
@@ -548,7 +549,7 @@ def windowed_gather_reduce(
         kernel = functools.partial(
             _windowed_kernel_wide, ops=ops, block_rows=block_rows,
             window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
-            s_blocks=s_blocks)
+            s_blocks=s_blocks, pipeline=pipeline)
         out_specs = tuple(pl.BlockSpec(memory_space=pl.ANY)
                           for _ in ops)
         scratch = (
@@ -566,7 +567,7 @@ def windowed_gather_reduce(
         kernel = functools.partial(
             _windowed_kernel, ops=ops, block_rows=block_rows,
             window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
-            s_blocks=s_blocks)
+            s_blocks=s_blocks, pipeline=pipeline)
         out_specs = tuple(
             pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -847,6 +848,7 @@ def windowed_gather_reduce_bwd(
     edge_w: Optional[jnp.ndarray] = None,
     chunk: int = 1024,
     scratch_acc: bool = False,
+    pipeline: bool = False,
 ):
     segs = tuple(segs)
     n, f = vals.shape
@@ -873,7 +875,7 @@ def windowed_gather_reduce_bwd(
         kernel = functools.partial(
             _windowed_bwd_kernel_wide, segs=segs, block_rows=block_rows,
             window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
-            s_blocks=s_blocks)
+            s_blocks=s_blocks, pipeline=pipeline)
         vals_spec = pl.BlockSpec(memory_space=pl.ANY)
         out_spec = pl.BlockSpec(memory_space=pl.ANY)
         scratch = [
@@ -892,7 +894,7 @@ def windowed_gather_reduce_bwd(
         kernel = functools.partial(
             _windowed_bwd_kernel, segs=segs, block_rows=block_rows,
             window_rows=window_rows, chunk=chunk, f=f, has_w=has_w,
-            s_blocks=s_blocks)
+            s_blocks=s_blocks, pipeline=pipeline)
         vals_spec = pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),
                                  memory_space=pltpu.VMEM)
         out_spec = pl.BlockSpec((block_rows, f), lambda i, s, *_: (i, 0),

@@ -258,3 +258,14 @@ def test_native_fastcsv_parser(tmp_path):
     blob = "\n".join(f"{a},{b}" for a, b in big).encode()
     out = native.parse_csv_bytes(blob, np.int64)
     np.testing.assert_array_equal(out.reshape(-1, 2), big)
+
+
+def test_read_csv_gz_rejects_malformed_rows(tmp_path):
+    """Empty fields must NOT silently compact/misalign (r3 review finding):
+    the native fast path is structure-validated (rows*cols) and malformed
+    files surface as a parse error, matching the old loadtxt behavior."""
+    p = tmp_path / "bad.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("1,2\n3,\n,6\n7,8\n")   # two empty fields
+    with pytest.raises(Exception):
+        ondisk._read_csv_gz(p)
