@@ -408,22 +408,34 @@ def _plan_prims(aggrs: Tuple[str, ...]) -> Tuple[Tuple[str, ...], int]:
 _VMEM_BUDGET = 15 << 20     # bytes; v5e scoped VMEM limit is 16 MB
 
 
+def _wide_bwd_plan(plan: GraphKernelPlan, nsegs: int, f: int = 256):
+    """The transpose plan the wide backward should run on: the LARGEST
+    window whose double-buffered nsegs*F coeff stream + stationary vals +
+    gradient scratch fit VMEM (bigger windows -> fewer grid cells ->
+    fewer chunk-boundary fragments). Small aggregator sets (e.g. the mag
+    symnorm-only config, K=1) fit the regular 2048-row windows; K=4
+    (arxiv h136) needs the 512-row narrow layout."""
+    for bw in (plan.bwd, plan.bwd_narrow):
+        if bw is None:
+            continue
+        bwd_bytes = (2 * bw.window_rows * nsegs + 2 * bw.block_rows) * f * 4
+        if bwd_bytes <= _VMEM_BUDGET:
+            return bw
+    return None
+
+
 def _wide_fits(plan: GraphKernelPlan, aggrs: Sequence[str],
                f: int = 256) -> bool:
     """True when the wide-lane (single-sweep F=256) kernels fit VMEM for
     this aggregator set at the plan's geometry (see the wide-variant
     comment in gather_reduce.py). fwd: double-buffered window + one
-    scratch accumulator per primitive. bwd: double-buffered K*F coeff
-    window + stationary vals scratch + gradient scratch."""
+    scratch accumulator per primitive. bwd: see _wide_bwd_plan."""
     aggrs = tuple(canonical_aggr(a) for a in aggrs)
     prims, nsegs = _plan_prims(aggrs)
-    if plan.bwd_narrow is None:
-        return False
     fwd_bytes = (2 * plan.fwd.window_rows
                  + len(prims) * plan.fwd.block_rows) * f * 4
-    bw = plan.bwd_narrow
-    bwd_bytes = (2 * bw.window_rows * nsegs + 2 * bw.block_rows) * f * 4
-    return fwd_bytes <= _VMEM_BUDGET and bwd_bytes <= _VMEM_BUDGET
+    return fwd_bytes <= _VMEM_BUDGET and \
+        _wide_bwd_plan(plan, nsegs, f) is not None
 
 
 def fused_multi_aggregate(
@@ -442,16 +454,19 @@ def fused_multi_aggregate(
     min = -max(-x) equivalence, var/std eps, virtual self-loops).
 
     ``wide``: single-sweep mode for F = 256 (scratch-accumulator kernels;
-    gate with ``_wide_fits``). Uses the narrow-window transpose plan —
-    the K*F-lane coeff stream only fits VMEM at small windows.
+    gate with ``_wide_fits``). The transpose pass picks the largest
+    window layout whose K*F-lane coeff stream fits VMEM
+    (``_wide_bwd_plan``: regular 2048-row windows for K <= 2, the
+    narrow 512-row layout for K <= 4).
     """
     aggrs = tuple(canonical_aggr(a) for a in aggrs)
     prims, nsegs = _plan_prims(aggrs)
 
     if wide:
-        if plan.bwd_narrow is None:
-            raise ValueError("wide mode requires a narrow transpose plan")
-        bwd_plan = plan.bwd_narrow
+        bwd_plan = _wide_bwd_plan(plan, nsegs)
+        if bwd_plan is None:
+            raise ValueError("wide mode: no transpose plan fits VMEM for "
+                             f"{nsegs} coeff segments")
     else:
         # coeff segments the backward pass will stream: wide bwd windows
         # are only VMEM-safe up to 4 segments (GraphKernelPlan docstring)

@@ -375,3 +375,51 @@ def test_pnaconv_fused_branch_matches_xla(monkeypatch):
                    key=lambda kv: str(kv[0]))):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-3, atol=2e-4, err_msg=str(ka))
+
+
+def test_wide_without_narrow_plan_symnorm(monkeypatch):
+    """The mag h352 setup: plan built WITHOUT a narrow transpose layout
+    (bwd_narrow_window_rows=None, bench_mag_full.py) + symnorm-only. The
+    wide gate must admit it on the REGULAR transpose plan (K=1 coeff
+    stream fits the 2048-row windows) and value+grad must match XLA —
+    round 3: this previously fell back to 2x column-split sweeps."""
+    from egc_tpu.graph.structure import Graph, pad_graph
+    from egc_tpu.ops import dispatch as dsp
+    from egc_tpu.ops.segment import multi_aggregate
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    vals, senders, receivers = small_graph(seed=31, n=150, e=700, f=128)
+    rng = np.random.default_rng(32)
+    vals = np.concatenate(
+        [vals, rng.normal(size=(vals.shape[0], 128)).astype(np.float32)],
+        axis=1)
+    n = vals.shape[0]
+    ew, sw = symnorm_weight(jnp.asarray(senders), jnp.asarray(receivers), n)
+    plan = dsp.build_kernel_plan(
+        senders, receivers, n, fwd_block_rows=64, fwd_window_rows=128,
+        bwd_block_rows=128, bwd_window_rows=64,
+        bwd_narrow_window_rows=None, attention=False,
+        edge_weight=np.asarray(ew))
+    assert plan.bwd_narrow is None
+    assert dsp._wide_fits(plan, ("symnorm",))
+    assert dsp._wide_bwd_plan(plan, 1) is plan.bwd
+
+    g = Graph.from_coo(np.zeros((n, 1), np.float32), senders, receivers)
+    g = pad_graph(g, num_nodes=plan.n_pad, num_edges=len(senders))
+    g = g.replace(kernel_plan=plan)
+    vpad = jnp.zeros((plan.n_pad, 256)).at[:n].set(vals)
+    sw_pad = jnp.zeros(plan.n_pad).at[:n].set(sw)
+
+    def loss(v):
+        out = dsp.conv_aggregate(g, v, ("symnorm",), symnorm_self_w=sw_pad)
+        return jnp.sum(jnp.sin(out[:n]))
+
+    got, grad = jax.value_and_grad(loss)(vpad)
+    ref_loss, ref_grad = jax.value_and_grad(
+        lambda v: jnp.sum(jnp.sin(multi_aggregate(
+            v, jnp.asarray(senders), jnp.asarray(receivers), ("symnorm",),
+            symnorm_edge_w=ew, symnorm_self_w=sw))))(jnp.asarray(vals))
+    np.testing.assert_allclose(float(got), float(ref_loss), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(grad)[:n], np.asarray(ref_grad),
+                               rtol=1e-3, atol=1e-4)
