@@ -52,7 +52,10 @@ def main():
     raw = synthetic.synthetic_full_graph(
         num_nodes=n_nodes, avg_degree=avg_deg, num_classes=40,
         num_features=128, seed=0)
-    d = full_graph_to_device_dict(raw)
+    wide_bl = 4 * (args.hidden // 4)   # bases * (hidden // heads), H=B=4
+    d = full_graph_to_device_dict(
+        raw, wide_aggrs=(tuple(args.aggrs.split(","))
+                         if wide_bl > 128 else None))
     num_edges = int(np.asarray(d["graph"].edge_mask).sum())
     print(f"# edges={num_edges}", flush=True)
 

@@ -38,12 +38,16 @@ def _round_up(x, m):
 
 
 def full_graph_to_device_dict(raw: Dict[str, Any], *,
+                              wide_aggrs=None,
                               use_kernel: bool = True) -> Dict[str, Any]:
     """Pad a host full-graph dict to hardware-friendly sizes + split masks.
 
     With ``use_kernel`` (default), also precomputes the fused-Pallas kernel
     plan and global symnorm weights; the graph is padded to the plan's
     aligned node count so convs can take the fast path directly.
+    ``wide_aggrs``: the model's aggregator set, when known — single-
+    primitive sets get large-block wide-kernel geometry (the mag h352
+    coeff-restreaming fix; dispatch.wide_plan_geometry).
     """
     import numpy as _np
     from egc_tpu.ops.dispatch import build_kernel_plan
@@ -57,8 +61,10 @@ def full_graph_to_device_dict(raw: Dict[str, Any], *,
     ew, sw = _symw(jnp.asarray(raw["senders"]), jnp.asarray(raw["receivers"]),
                    n)
     if use_kernel:
+        from egc_tpu.ops.dispatch import wide_plan_geometry
+        geo = wide_plan_geometry(wide_aggrs) if wide_aggrs else {}
         plan = build_kernel_plan(raw["senders"], raw["receivers"], n,
-                                 edge_weight=_np.asarray(ew))
+                                 edge_weight=_np.asarray(ew), **geo)
         num_nodes_pad = plan.n_pad
     g = Graph.from_coo(raw["x"], raw["senders"], raw["receivers"])
     g = g.replace(edge_weight=_np.asarray(ew),
@@ -109,7 +115,17 @@ class FullGraphConfig(ExperimentConfig):
         raise NotImplementedError
 
     def data(self, hparams):
-        d = full_graph_to_device_dict(self.load_full_graph())
+        # wide-kernel geometry only when the model's aggregation width
+        # actually pads beyond 128 lanes (the non-wide kernels
+        # double-buffer [block, F] blocks in Pallas-managed VMEM, where
+        # 8192-row blocks do NOT fit)
+        wide_aggrs = None
+        if self.model_kind == "egc":
+            bl = self.bases * (self.hidden // self.heads)
+            if bl > 128:
+                wide_aggrs = self.aggrs or ("symnorm",)
+        d = full_graph_to_device_dict(self.load_full_graph(),
+                                      wide_aggrs=wide_aggrs)
         self._avg_log_deg = d["avg_log_deg"]
         return d
 

@@ -242,6 +242,32 @@ def build_kernel_plan(
         deg=_as(deg), n_pad=n_pad)
 
 
+def wide_plan_geometry(aggrs: Sequence[str]) -> dict:
+    """build_kernel_plan geometry kwargs tuned for a known aggregator set
+    on WIDE (F=256) graphs. The wide kernels single-buffer accumulators in
+    scratch, so block_rows is VMEM-bounded by n_prims — and window/coeff
+    RESTREAMING traffic scales with r_blocks = n_pad/block_rows (the mag
+    h352 profile measured the fwd sweep ~bandwidth-bound on it: 275 GB of
+    window re-streams at block 2048 over 741k rows). Single-primitive
+    sets afford 8192-row blocks (fwd scratch 8 MB; bwd without the
+    stationary vals block 8 MB) — 4x less restreaming."""
+    import os
+    aggrs = tuple(canonical_aggr(a) for a in aggrs)
+    prims, nsegs = _plan_prims(aggrs)
+    if len(prims) == 1 and not _needs_v(prims):
+        # K=1 coeff streams (256 lanes) fit 2048-row windows even at
+        # 8192-row gradient blocks (12 MB); 512-row windows measured
+        # SLOWER (4x the cells: mag bwd 197 -> 220 ms/layer)
+        return dict(fwd_block_rows=8192, fwd_window_rows=2048,
+                    bwd_block_rows=8192, bwd_window_rows=2048,
+                    bwd_narrow_window_rows=None)
+    if len(prims) <= 3 and os.environ.get("EGC_TPU_WIDE_GEOM3") == "1":
+        # probe geometry: halves fwd window restreaming (r_blocks 84->42
+        # at arxiv scale) at the cost of 2x more, thinner cells
+        return dict(fwd_block_rows=4096, fwd_window_rows=1024)
+    return {}
+
+
 @struct.dataclass
 class BipartiteKernelPlan:
     """Per-relation kernel plan for hetero (typed) graphs: senders index a
@@ -408,20 +434,27 @@ def _plan_prims(aggrs: Tuple[str, ...]) -> Tuple[Tuple[str, ...], int]:
 _VMEM_BUDGET = 15 << 20     # bytes; v5e scoped VMEM limit is 16 MB
 
 
-def _wide_bwd_plan(plan: GraphKernelPlan, nsegs: int, f: int = 256):
+def _wide_bwd_plan(plan: GraphKernelPlan, nsegs: int, f: int = 256,
+                   needs_v: bool = True):
     """The transpose plan the wide backward should run on: the LARGEST
-    window whose double-buffered nsegs*F coeff stream + stationary vals +
-    gradient scratch fit VMEM (bigger windows -> fewer grid cells ->
-    fewer chunk-boundary fragments). Small aggregator sets (e.g. the mag
-    symnorm-only config, K=1) fit the regular 2048-row windows; K=4
-    (arxiv h136) needs the 512-row narrow layout."""
+    window whose double-buffered nsegs*F coeff stream + stationary vals
+    (only when a segment consumes the forward input) + gradient scratch
+    fit VMEM (bigger windows -> fewer grid cells -> fewer chunk-boundary
+    fragments). Small aggregator sets (e.g. the mag symnorm-only config,
+    K=1) fit the regular 2048-row windows; K=4 (arxiv h136) needs the
+    512-row narrow layout."""
     for bw in (plan.bwd, plan.bwd_narrow):
         if bw is None:
             continue
-        bwd_bytes = (2 * bw.window_rows * nsegs + 2 * bw.block_rows) * f * 4
+        bwd_bytes = (2 * bw.window_rows * nsegs
+                     + (1 + needs_v) * bw.block_rows) * f * 4
         if bwd_bytes <= _VMEM_BUDGET:
             return bw
     return None
+
+
+def _needs_v(prims) -> bool:
+    return bool({"sumsq", "max", "min"} & set(prims))
 
 
 def _wide_fits(plan: GraphKernelPlan, aggrs: Sequence[str],
@@ -435,7 +468,7 @@ def _wide_fits(plan: GraphKernelPlan, aggrs: Sequence[str],
     fwd_bytes = (2 * plan.fwd.window_rows
                  + len(prims) * plan.fwd.block_rows) * f * 4
     return fwd_bytes <= _VMEM_BUDGET and \
-        _wide_bwd_plan(plan, nsegs, f) is not None
+        _wide_bwd_plan(plan, nsegs, f, _needs_v(prims)) is not None
 
 
 def fused_multi_aggregate(
@@ -463,7 +496,7 @@ def fused_multi_aggregate(
     prims, nsegs = _plan_prims(aggrs)
 
     if wide:
-        bwd_plan = _wide_bwd_plan(plan, nsegs)
+        bwd_plan = _wide_bwd_plan(plan, nsegs, needs_v=_needs_v(prims))
         if bwd_plan is None:
             raise ValueError("wide mode: no transpose plan fits VMEM for "
                              f"{nsegs} coeff segments")

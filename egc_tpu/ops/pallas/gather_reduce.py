@@ -878,8 +878,12 @@ def windowed_gather_reduce_bwd(
             s_blocks=s_blocks, pipeline=pipeline)
         vals_spec = pl.BlockSpec(memory_space=pl.ANY)
         out_spec = pl.BlockSpec(memory_space=pl.ANY)
+        needs_v = bool({"c_sumsq2", "c_max", "c_min"} & set(segs))
         scratch = [
-            pltpu.VMEM((block_rows, f), vals.dtype),   # stationary vals
+            # stationary vals block — only when a segment consumes the
+            # forward input (the no-vals case frees block VMEM for much
+            # larger gradient accumulators -> less coeff restreaming)
+            pltpu.VMEM((block_rows if needs_v else 8, f), vals.dtype),
             pltpu.VMEM((block_rows, f), vals.dtype),   # gradient accumulator
             pltpu.SMEM((2 * chunk,), jnp.int32),
             pltpu.SMEM((2 * chunk,), jnp.int32),

@@ -38,13 +38,20 @@ def main():
     n = raw["x"].shape[0]
     ew, sw = symnorm_weight(jnp.asarray(raw["senders"]),
                             jnp.asarray(raw["receivers"]), n)
+    from egc_tpu.ops.dispatch import wide_plan_geometry
+    geo = wide_plan_geometry(("symnorm",))   # 8192-row blocks: 4x less
+    # window/coeff restreaming (the profiled bandwidth wall at 737k rows)
     plan = build_kernel_plan(raw["senders"], raw["receivers"], n,
                              edge_weight=np.asarray(ew),
-                             bwd_narrow_window_rows=None, attention=False)
+                             attention=False, **geo)
     g = Graph.from_coo(raw["x"], raw["senders"], raw["receivers"])
+    # edge_weight must ride the Graph: without it EGConv recomputes
+    # gcn_norm IN-GRAPH each step (a 90 ms scatter-add at 10.3M edges,
+    # profiled) and then the fused path ignores it for the plan's
+    # pre-permuted weights anyway
+    g = g.replace(edge_weight=np.asarray(ew), self_weight=np.asarray(sw))
     g = pad_graph(g, num_nodes=plan.n_pad, num_edges=len(raw["senders"]))
-    g = g.replace(kernel_plan=plan,
-                  self_weight=jnp.pad(sw, (0, plan.n_pad - n)))
+    g = g.replace(kernel_plan=plan)
     g = jax.tree.map(jnp.asarray, g)
     e = int(np.asarray(g.edge_mask).sum())
     y = jnp.asarray(np.pad(raw["y"], (0, plan.n_pad - n)))
@@ -102,6 +109,34 @@ def main():
             print(f"mag h352 EGC-S full-graph step ({tag}): {dt*1e3:.0f} ms"
                   f" ({e/dt/1e6:.2f} M edges/s) loss={float(loss):.3f}",
                   flush=True)
+            if "profile" in sys.argv and tag == "fused":
+                import glob
+                import json
+                import os
+
+                with jax.profiler.trace("/tmp/magtrace"):
+                    s2, loss = step(s2, graph, y, tmask, rng)
+                    jax.block_until_ready(s2)
+                os.environ["PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION"] = \
+                    "python"
+                from xprof.convert import raw_to_tool_data as rtd
+                xp = sorted(glob.glob("/tmp/magtrace/**/*.xplane.pb",
+                                      recursive=True),
+                            key=os.path.getmtime)
+                data, _ = rtd.xspace_to_tool_data(
+                    [xp[-1]], "framework_op_stats", {"tqx": "out:json"})
+                tables = json.loads(bytes(data))
+                tt = tables[0] if isinstance(tables, list) else \
+                    tables["tables"][0]
+                dev = [(c[3], float(c[7] or 0.0))
+                       for c in ([x.get("v") for x in r["c"]]
+                                 for r in tt["rows"]) if c[1] == "Device"]
+                dev.sort(key=lambda kv: -kv[1])
+                total = sum(v for _, v in dev)
+                print(f"total device self-time: {total/1e3:.1f} ms")
+                for name, v in dev[:25]:
+                    print(f"  {v/1e3:8.1f} ms {100*v/total:5.1f}%  "
+                          f"{name[:84]}")
         except Exception as exc:
             print(f"mag h352 step ({tag}): FAILED ({type(exc).__name__}: "
                   f"{str(exc)[:110]})", flush=True)
