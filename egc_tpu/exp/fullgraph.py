@@ -440,8 +440,13 @@ class SampledMagConfig(MagConfig):
                 prefetch=4 if on_tpu else 0,
                 gather_on_device=True)
         self._avg_log_deg = 1.0
-        # deterministic full-graph eval data (reference metric protocol)
-        full = full_graph_to_device_dict(raw)
+        # deterministic full-graph eval data (reference metric protocol);
+        # same wide-geometry rule as the full-graph training path
+        wide_aggrs = None
+        bl = self.bases * (self.hidden // self.heads)
+        if bl > 128:
+            wide_aggrs = self.aggrs or ("symnorm",)
+        full = full_graph_to_device_dict(raw, wide_aggrs=wide_aggrs)
         return {"loaders": loaders, "num_classes": raw["num_classes"],
                 "x_full": jnp.asarray(raw["x"]),
                 "full": full}

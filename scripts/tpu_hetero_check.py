@@ -31,8 +31,14 @@ def main():
     raw = synthetic.synthetic_rmag(num_classes=20, num_features=128, **kw)
     hg_np = hetero_from_numpy(raw["nodes"], raw["edges"])
     t0 = time.time()
-    hg_plans_np = attach_hetero_kernel_plans(hg_np)
-    print(f"plan build: {time.time() - t0:.1f}s", flush=True)
+    # "geo": larger output blocks halve window restreaming (the mag-scale
+    # bandwidth wall found on the homogeneous wide kernels); probe flag
+    # (bwd blocks stay 4096: the non-wide backward double-buffers the
+    # stationary vals + gradient blocks, so 8192 would exceed VMEM)
+    geo = (dict(fwd_block_rows=4096, fwd_window_rows=2048)
+           if "geo" in sys.argv[1:] else {})
+    hg_plans_np = attach_hetero_kernel_plans(hg_np, **geo)
+    print(f"plan build: {time.time() - t0:.1f}s geo={bool(geo)}", flush=True)
     n_edges = sum(int(np.asarray(m).sum()) for m in hg_np.edge_mask.values())
     print(f"valid edges across relations: {n_edges}", flush=True)
 
