@@ -45,16 +45,18 @@ def _parse_csv_bytes(data: bytes, dtype) -> np.ndarray:
     (minutes at ogbn-arxiv scale, hours at ogbn-mag scale — VERDICT r2)."""
     head = data.split(b"\n", 1)[0].strip()
     cols = head.count(b",") + 1 if head else 1
-    # exact row structure check: the native parser compacts fields, so a
-    # malformed file (empty fields) must fall through to pandas, which
-    # raises — size % cols alone lets offsetting omissions silently
-    # misalign rows (r3 review finding)
-    rows = sum(1 for ln in data.split(b"\n") if ln.strip())
-
-    from egc_tpu.native import parse_csv_bytes
-    flat = parse_csv_bytes(data, dtype)
-    if flat is not None and flat.size == rows * cols:
-        return flat.reshape(rows, cols)
+    # per-ROW structure check (native, multithreaded): every non-empty row
+    # must have exactly `cols` fields, with the parser's separator set —
+    # offsetting malformed rows (cols+1 here, cols-1 there) and embedded
+    # spaces inside a field both fail here and fall through to pandas,
+    # which raises, instead of silently misaligning the reshape
+    # (r3/r4 review findings).
+    from egc_tpu.native import csv_rows_consistent, parse_csv_bytes
+    rows = csv_rows_consistent(data, cols)
+    if rows is not None and rows > 0:
+        flat = parse_csv_bytes(data, dtype)
+        if flat is not None and flat.size == rows * cols:
+            return flat.reshape(rows, cols)
 
     import io
     try:

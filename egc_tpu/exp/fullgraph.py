@@ -443,9 +443,13 @@ class SampledMagConfig(MagConfig):
         # deterministic full-graph eval data (reference metric protocol);
         # same wide-geometry rule as the full-graph training path
         wide_aggrs = None
-        bl = self.bases * (self.hidden // self.heads)
-        if bl > 128:
-            wide_aggrs = self.aggrs or ("symnorm",)
+        if self.model_kind == "egc":
+            # heads/bases are EGC-only knobs; for other model kinds the
+            # non-wide kernels consume the plan and 8192-row wide blocks
+            # do not fit their VMEM double-buffering (see base class)
+            bl = self.bases * (self.hidden // self.heads)
+            if bl > 128:
+                wide_aggrs = self.aggrs or ("symnorm",)
         full = full_graph_to_device_dict(raw, wide_aggrs=wide_aggrs)
         return {"loaders": loaders, "num_classes": raw["num_classes"],
                 "x_full": jnp.asarray(raw["x"]),

@@ -470,11 +470,28 @@ def import_model_state(dataset: str, model_kind: str,
     if strict:
         consumed = set(rules.consumed)
         # PyG shares lin_dst with lin_src for GAT over int in_channels; both
-        # aliases appear in the state dict — tolerate the duplicates.
-        leftovers = [k for k in torch_sd
-                     if k not in consumed
-                     and not k.endswith("num_batches_tracked")
-                     and ".lin_dst." not in k]
+        # aliases appear in the state dict. Tolerate ONLY true aliases
+        # (value-equal to the consumed lin_src/lin_l counterpart) — a
+        # checkpoint carrying a distinct lin_dst weight must fail loudly,
+        # not load with silently-dropped weights.
+        leftovers = []
+        for k in torch_sd:
+            if k in consumed or k.endswith("num_batches_tracked"):
+                continue
+            if ".lin_dst." in k:
+                for alias in (".lin_src.", ".lin_l."):
+                    ref = k.replace(".lin_dst.", alias)
+                    if ref in torch_sd and np.array_equal(
+                            np.asarray(torch_sd[k]),
+                            np.asarray(torch_sd[ref])):
+                        break
+                else:
+                    raise PortError(
+                        f"{k}: lin_dst is not value-equal to its "
+                        "lin_src/lin_l counterpart — distinct destination "
+                        "weights are not supported by this port")
+                continue
+            leftovers.append(k)
         if leftovers:
             raise PortError(f"unmapped torch keys: {leftovers[:10]}"
                             f"{'...' if len(leftovers) > 10 else ''}")

@@ -85,6 +85,9 @@ def get_fastcsv() -> Optional[ctypes.CDLL]:
             return None
         lib.fastcsv_count.restype = ctypes.c_int64
         lib.fastcsv_count.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.fastcsv_check_rows.restype = ctypes.c_int64
+        lib.fastcsv_check_rows.argtypes = [ctypes.c_char_p, ctypes.c_int64,
+                                           ctypes.c_int64]
         for name, ctype in (("fastcsv_parse_f32", ctypes.c_float),
                             ("fastcsv_parse_f64", ctypes.c_double),
                             ("fastcsv_parse_i64", ctypes.c_int64)):
@@ -101,6 +104,16 @@ _PARSERS = {
     np.dtype(np.float64): ("fastcsv_parse_f64", ctypes.c_double),
     np.dtype(np.int64): ("fastcsv_parse_i64", ctypes.c_int64),
 }
+
+
+def csv_rows_consistent(data: bytes, cols: int) -> Optional[int]:
+    """Number of non-empty CSV rows when EVERY row has exactly ``cols``
+    fields (native per-row check, same separator set as the parser);
+    -1 when any row disagrees; None when the library is unavailable."""
+    lib = get_fastcsv()
+    if lib is None:
+        return None
+    return int(lib.fastcsv_check_rows(data, len(data), int(cols)))
 
 
 def parse_csv_bytes(data: bytes, dtype) -> Optional[np.ndarray]:

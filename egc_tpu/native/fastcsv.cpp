@@ -60,6 +60,57 @@ int64_t count_range(const char* data, int64_t lo, int64_t hi) {
     return n;
 }
 
+// Split [0, len) into per-thread ranges aligned to LINE boundaries so each
+// thread sees whole rows (check_rows needs per-row field counts).
+std::vector<std::pair<int64_t, int64_t>> line_ranges(const char* data,
+                                                     int64_t len,
+                                                     int nthreads) {
+    std::vector<std::pair<int64_t, int64_t>> out;
+    int64_t start = 0;
+    for (int t = 0; t < nthreads; ++t) {
+        int64_t end = (t == nthreads - 1) ? len : len * (t + 1) / nthreads;
+        if (end < len) {
+            while (end > start && data[end - 1] != '\n') --end;
+            if (end == start) end = (t == nthreads - 1) ? len : end;
+        }
+        out.emplace_back(start, end);
+        start = end;
+    }
+    out.back().second = len;
+    return out;
+}
+
+// Count non-empty rows in [lo, hi); set *ok=false if any non-empty row has
+// a field count != cols. Fields within a row also split on ' '/'\t' (same
+// separator set as the parser), so an embedded space in a field shows up
+// as an extra field here and fails the check instead of silently
+// misaligning the flat reshape.
+int64_t check_rows_range(const char* data, int64_t lo, int64_t hi,
+                         int64_t cols, bool* ok) {
+    int64_t rows = 0, fields = 0;
+    bool in_field = false;
+    for (int64_t i = lo; i < hi; ++i) {
+        char c = data[i];
+        if (c == '\n' || c == '\r') {
+            if (fields > 0) {
+                if (fields != cols) { *ok = false; return rows; }
+                ++rows;
+            }
+            fields = 0;
+            in_field = false;
+            continue;
+        }
+        bool sep = is_sep(c);
+        if (!sep && !in_field) ++fields;
+        in_field = !sep;
+    }
+    if (fields > 0) {  // final unterminated line
+        if (fields != cols) { *ok = false; return rows; }
+        ++rows;
+    }
+    return rows;
+}
+
 int nthreads_for(int64_t len) {
     unsigned hw = std::thread::hardware_concurrency();
     if (hw == 0) hw = 1;
@@ -111,6 +162,32 @@ int64_t parse_all(const char* data, int64_t len, T* out, int64_t cap,
 }  // namespace
 
 extern "C" {
+
+// Per-row structure check: returns the number of non-empty rows when every
+// non-empty row has exactly `cols` fields, else -1. Total field count alone
+// (rows*cols) lets offsetting malformed rows (cols+1 here, cols-1 there)
+// silently misalign the reshape — this closes that hole.
+int64_t fastcsv_check_rows(const char* data, int64_t len, int64_t cols) {
+    int nt = nthreads_for(len);
+    auto rs = line_ranges(data, len, nt);
+    std::vector<int64_t> counts(nt);
+    std::vector<uint8_t> oks(nt, 1);
+    std::vector<std::thread> th;
+    for (int t = 0; t < nt; ++t)
+        th.emplace_back([&, t] {
+            bool ok = true;
+            counts[t] = check_rows_range(data, rs[t].first, rs[t].second,
+                                         cols, &ok);
+            oks[t] = ok ? 1 : 0;
+        });
+    for (auto& x : th) x.join();
+    int64_t rows = 0;
+    for (int t = 0; t < nt; ++t) {
+        if (!oks[t]) return -1;
+        rows += counts[t];
+    }
+    return rows;
+}
 
 int64_t fastcsv_count(const char* data, int64_t len) {
     int nt = nthreads_for(len);

@@ -8,8 +8,11 @@ with globally-sharded inputs (``jax.make_array_from_single_device_arrays``
 from per-process microbatches — the exact multi-host pattern for the DP
 path, egc_tpu.parallel.dp).
 
-Usage:  python scripts/multihost_smoke.py            # launcher (spawns 2)
-        python scripts/multihost_smoke.py --worker I # internal
+Usage:  python scripts/multihost_smoke.py              # launcher (spawns 2)
+        python scripts/multihost_smoke.py --worker I   # internal
+        python scripts/multihost_smoke.py --reference  # single-process
+            8-device run of the SAME step (no jax.distributed) — the
+            numeric reference the 2-process run must reproduce.
 
 Prints one JSON line: {"ok": true, "loss": ..., "psum": 8.0}.
 """
@@ -27,23 +30,25 @@ NPROC = 2
 LOCAL_DEVICES = 4
 
 
-def worker(pid: int):
+def worker(pid: int, nproc: int = NPROC, local_devices: int = LOCAL_DEVICES,
+           distributed: bool = True):
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                f" --xla_force_host_platform_device_count="
-                               f"{LOCAL_DEVICES}").strip()
+                               f"{local_devices}").strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
-                               num_processes=NPROC, process_id=pid)
+    if distributed:
+        jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+                                   num_processes=nproc, process_id=pid)
     import numpy as np
     import jax.numpy as jnp
     from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
-    assert jax.device_count() == NPROC * LOCAL_DEVICES, jax.device_count()
-    assert jax.process_count() == NPROC
-    devices = np.array(jax.devices()).reshape(NPROC * LOCAL_DEVICES)
+    assert jax.device_count() == nproc * local_devices, jax.device_count()
+    assert jax.process_count() == nproc
+    devices = np.array(jax.devices()).reshape(nproc * local_devices)
     mesh = Mesh(devices, ("data",))
 
     try:
@@ -58,7 +63,7 @@ def worker(pid: int):
     sharding = NamedSharding(mesh, P("data"))
     local = [jax.device_put(jnp.ones((1,)), d) for d in jax.local_devices()]
     xs = jax.make_array_from_single_device_arrays(
-        (NPROC * LOCAL_DEVICES,), sharding, local)
+        (nproc * local_devices,), sharding, local)
     total = jax.jit(sm(ones_psum, mesh=mesh, in_specs=P("data"),
                        out_specs=P("data")))(xs)
     psum_val = float(np.asarray(
@@ -74,7 +79,7 @@ def worker(pid: int):
     from egc_tpu.train.optim import make_optimizer
     from egc_tpu.train.state import TrainState
 
-    n_dev = NPROC * LOCAL_DEVICES
+    n_dev = nproc * local_devices
     splits = synthetic.synthetic_zinc(num_graphs=4 * n_dev)
     graphs = splits["train"][:2 * n_dev]
     micro = [batch_np(graphs[2 * d:2 * d + 2], num_nodes=80, num_edges=256,
@@ -86,7 +91,7 @@ def worker(pid: int):
         shard_spec = NamedSharding(mesh, P("data"))
         locs = []
         for k, d in enumerate(jax.local_devices()):
-            g = pid * LOCAL_DEVICES + k
+            g = pid * local_devices + k
             locs.append(jax.device_put(jnp.asarray(x[g:g + 1]), d))
         return jax.make_array_from_single_device_arrays(
             x.shape, shard_spec, locs)
@@ -119,7 +124,8 @@ def worker(pid: int):
         print(json.dumps({"ok": bool(np.isfinite(loss)
                                      and psum_val == n_dev),
                           "loss": loss, "psum": psum_val}), flush=True)
-    jax.distributed.shutdown()
+    if distributed:
+        jax.distributed.shutdown()
 
 
 def launcher():
@@ -138,5 +144,10 @@ def launcher():
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         worker(int(sys.argv[2]))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--reference":
+        # same step, one process owning all 8 virtual devices — the
+        # numeric reference the cross-process run must reproduce
+        worker(0, nproc=1, local_devices=NPROC * LOCAL_DEVICES,
+               distributed=False)
     else:
         launcher()

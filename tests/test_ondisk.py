@@ -269,3 +269,35 @@ def test_read_csv_gz_rejects_malformed_rows(tmp_path):
         f.write("1,2\n3,\n,6\n7,8\n")   # two empty fields
     with pytest.raises(Exception):
         ondisk._read_csv_gz(p)
+
+
+def test_read_csv_gz_rejects_offsetting_malformed_rows(tmp_path):
+    """Offsetting malformations (one row cols+1, another cols-1) keep the
+    TOTAL field count at rows*cols — the per-row native check must still
+    reject them (r4 review finding), as must an embedded space splitting a
+    field."""
+    p = tmp_path / "offset.csv.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("1,2,3\n4,5,6,7\n8,9\n1,2,3\n")   # 12 fields = 4 rows * 3
+    with pytest.raises(Exception):
+        ondisk._read_csv_gz(p)
+    q = tmp_path / "space.csv.gz"
+    with gzip.open(q, "wt") as f:
+        f.write("1,2 9\n3,4\n")   # embedded space -> extra field in row 0
+    with pytest.raises(Exception):
+        ondisk._read_csv_gz(q)
+
+
+def test_native_row_consistency_check():
+    from egc_tpu import native
+    if native.get_fastcsv() is None:
+        pytest.skip("no native toolchain")
+    assert native.csv_rows_consistent(b"1,2\n3,4\n", 2) == 2
+    assert native.csv_rows_consistent(b"1,2\n3,4", 2) == 2   # no final \n
+    assert native.csv_rows_consistent(b"1,2\n\n3,4\n", 2) == 2  # blank line
+    assert native.csv_rows_consistent(b"1,2,3\n4,5\n", 2) == -1
+    assert native.csv_rows_consistent(b"1,2\n3\n", 2) == -1
+    # multithreaded path (> 4 MB), all rows consistent
+    blob = b"12,345\n" * 800_000
+    assert native.csv_rows_consistent(blob, 2) == 800_000
+    assert native.csv_rows_consistent(blob + b"99\n", 2) == -1

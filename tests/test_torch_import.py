@@ -508,3 +508,30 @@ def test_gat_alias_names_accepted(tmp_path, rng):
                                 m.init(jax.random.PRNGKey(1), g,
                                        train=False))
     assert_tree_equal(variables, ported)
+
+
+def test_gat_lin_dst_alias_tolerated_distinct_rejected(tmp_path, rng):
+    """PyG GAT over int in_channels registers lin_dst as an alias of
+    lin_src (both keys, same tensor) — tolerated. A checkpoint with a
+    DISTINCT lin_dst weight must raise, not silently drop it (r4 review
+    finding)."""
+    m = ArxivNet(conv=ConvSpec("gat", heads=4), hidden_dim=8, num_layers=2,
+                 num_features=16)
+    g = tiny_graph(rng, feat=16)
+    variables = m.init(jax.random.PRNGKey(0), g, train=False)
+    sd = export_model_state("arxiv", "gat", variables)
+    src_keys = [k for k in sd if ".lin_src." in k]
+    assert src_keys
+    aliased = dict(sd)
+    for k in src_keys:
+        aliased[k.replace(".lin_src.", ".lin_dst.")] = sd[k]
+    tmpl = m.init(jax.random.PRNGKey(1), g, train=False)
+    ported = import_model_state("arxiv", "gat",
+                                save_load(aliased, tmp_path), tmpl)
+    assert_tree_equal(variables, ported)
+    distinct = dict(aliased)
+    k0 = src_keys[0].replace(".lin_src.", ".lin_dst.")
+    distinct[k0] = np.asarray(distinct[k0]) + 1.0
+    with pytest.raises(Exception, match="lin_dst"):
+        import_model_state("arxiv", "gat", save_load(distinct, tmp_path),
+                           tmpl)
