@@ -112,13 +112,34 @@ class EGConv(nn.Module):
         include_self = self.self_loop_mode == "all" and self.add_self_loops
         # conv_aggregate dispatches to the fused Pallas kernels on TPU when
         # the graph carries a kernel plan and B*L is lane-aligned.
-        from egc_tpu.ops.dispatch import conv_aggregate
-        y = conv_aggregate(g, bases, aggrs, include_self=include_self,
-                           symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw)
-        y = y.reshape(n, A, B, L)
+        import jax as _jax
 
-        # Head mixing (see head_mix for the TPU lowering note).
-        z = head_mix(w, y, n, H, B, A, L).reshape(n, O)
+        from egc_tpu.ops.dispatch import conv_aggregate
+        from egc_tpu.ops.pallas.headmix import (
+            head_mix_fused, headmix_enabled, headmix_min_rows,
+        )
+
+        # Plan-gated like every fused kernel: plan-free graphs include the
+        # partitioned XLA steps that run under shard_map check_vma=True,
+        # where a Pallas call (no vma types) would not trace.
+        if (_jax.default_backend() == "tpu" and headmix_enabled()
+                and getattr(g, "kernel_plan", None) is not None
+                and n >= headmix_min_rows()):
+            # Fused head mix: consume the per-aggregator parts directly
+            # (no [n, A, F] stack, no [n, H, A*B, L] intermediate) — see
+            # ops/pallas/headmix.py for the measured XLA-lowering gap.
+            ys = conv_aggregate(g, bases, aggrs, include_self=include_self,
+                                symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw,
+                                stacked=False)
+            z = head_mix_fused(w.reshape(n, H * B * A), ys,
+                               H=H, B=B, A=A, L=L)
+        else:
+            y = conv_aggregate(g, bases, aggrs, include_self=include_self,
+                               symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw)
+            y = y.reshape(n, A, B, L)
+
+            # Head mixing (see head_mix for the TPU lowering note).
+            z = head_mix(w, y, n, H, B, A, L).reshape(n, O)
 
         if self.use_bias:
             z = z + self.param("bias", nn.initializers.zeros, (O,), jnp.float32)

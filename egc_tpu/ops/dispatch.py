@@ -486,8 +486,11 @@ def fused_multi_aggregate(
     symnorm_edge_w: Optional[jnp.ndarray] = None,  # [E] ORIGINAL edge order
     symnorm_self_w: Optional[jnp.ndarray] = None,  # [n_pad]
     wide: bool = False,
+    stacked: bool = True,
 ) -> jnp.ndarray:
-    """Plan-based fused multi-aggregate: returns [n_pad, A, F].
+    """Plan-based fused multi-aggregate: returns [n_pad, A, F] (or a tuple
+    of A [n_pad, F] arrays when ``stacked=False`` — the fused head-mix
+    kernel consumes the parts directly, skipping the stack).
 
     Matches ``multi_aggregate`` semantics exactly (empty segments -> 0,
     min = -max(-x) equivalence, var/std eps, virtual self-loops).
@@ -574,7 +577,7 @@ def fused_multi_aggregate(
         else:  # pragma: no cover
             raise ValueError(a)
         outs.append(out)
-    return jnp.stack(outs, axis=1)
+    return jnp.stack(outs, axis=1) if stacked else tuple(outs)
 
 
 @functools.lru_cache(maxsize=None)
@@ -651,11 +654,12 @@ def _fused_primitives(fwd_plan, bwd_plan, prims, ew_f, ew_b, *,
 
 
 def conv_aggregate(g, x, aggrs, *, include_self: bool = False,
-                   symnorm_edge_w=None, symnorm_self_w=None):
+                   symnorm_edge_w=None, symnorm_self_w=None,
+                   stacked: bool = True):
     """Unified aggregation entry point for conv layers: dispatches to the
     fused Pallas path when the graph carries a kernel plan and we are on
     TPU; otherwise the XLA segment path. Returns [N, A, F] in the order of
-    ``aggrs``.
+    ``aggrs`` (or a tuple of A [N, F] arrays when ``stacked=False``).
 
     Unaligned feature widths (the reference's tuned configs are mostly not
     lane multiples: arxiv EGC-M h136, zinc h168/h124, hiv h296/h224, code
@@ -701,17 +705,33 @@ def conv_aggregate(g, x, aggrs, *, include_self: bool = False,
                     include_self=include_self,
                     symnorm_edge_w=symnorm_edge_w,
                     symnorm_self_w=symnorm_self_w,
-                    wide=(w == 256)))
+                    wide=(w == 256), stacked=stacked))
                 k += w
-            out = jnp.concatenate(outs, axis=2) if len(outs) > 1 else outs[0]
+            if not stacked:
+                parts = (tuple(jnp.concatenate([o[a] for o in outs], axis=1)
+                               for a in range(len(aggrs)))
+                         if len(outs) > 1 else outs[0])
+            else:
+                out = (jnp.concatenate(outs, axis=2) if len(outs) > 1
+                       else outs[0])
         else:
             out = fused_multi_aggregate(
                 x, plan, aggrs, include_self=include_self,
-                symnorm_edge_w=symnorm_edge_w, symnorm_self_w=symnorm_self_w)
+                symnorm_edge_w=symnorm_edge_w, symnorm_self_w=symnorm_self_w,
+                stacked=stacked)
+            if not stacked:
+                parts = out
+        if not stacked:
+            if n_extra:
+                parts = tuple(p[:n] for p in parts)
+            return (tuple(p[:, :f] for p in parts) if f_pad != f
+                    else parts)
         if n_extra:
             out = out[:n]
         return out[:, :, :f] if f_pad != f else out
-    return multi_aggregate(
+    out = multi_aggregate(
         x, g.senders, g.receivers, aggrs, edge_mask=g.edge_mask,
         include_self=include_self, symnorm_edge_w=symnorm_edge_w,
         symnorm_self_w=symnorm_self_w, indices_are_sorted=True)
+    return out if stacked else tuple(
+        out[:, a] for a in range(len(aggrs)))

@@ -1,0 +1,120 @@
+"""Fused head-mix kernel parity (interpret mode on CPU).
+
+Gates: ops/pallas/headmix.head_mix_fused must match the XLA broadcast-
+reduce head mix (egc.head_mix) for values AND gradients across the
+reference's tuned shapes, and the EGC layer must produce identical outputs
+whichever head-mix path the dispatch gate picks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import jax.experimental.pallas as pl
+import egc_tpu.ops.pallas.headmix as hm
+from egc_tpu.nn.conv.egc import head_mix
+
+
+@pytest.fixture(autouse=True)
+def interpret_pallas(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(hm.pl, "pallas_call", patched)
+
+
+def xla_head_mix(w2d, ys, n, H, B, A, L):
+    y = jnp.stack(ys, axis=1).reshape(n, A, B, L)
+    w = w2d.reshape(n, H, B, A)
+    return head_mix(w, y, n, H, B, A, L).reshape(n, H * L)
+
+
+@pytest.mark.parametrize("H,B,A,L", [
+    (8, 4, 1, 44),     # mag h352 symnorm
+    (4, 4, 3, 32),     # arxiv h128 EGC-M
+    (4, 4, 3, 34),     # arxiv h136 (reference tuned width)
+    (8, 4, 1, 21),     # zinc-like EGC-S h168
+    (2, 3, 2, 5),      # odd small shape
+])
+def test_headmix_kernel_matches_xla(H, B, A, L):
+    n = 100                                # exercises row padding
+    rng = np.random.default_rng(0)
+    w2d = jnp.asarray(rng.normal(size=(n, H * B * A)).astype(np.float32))
+    ys = tuple(jnp.asarray(rng.normal(size=(n, B * L)).astype(np.float32))
+               for _ in range(A))
+    dz = jnp.asarray(rng.normal(size=(n, H * L)).astype(np.float32))
+
+    ref, vjp_ref = jax.vjp(
+        lambda w, y: xla_head_mix(w, y, n, H, B, A, L), w2d, ys)
+    got, vjp_got = jax.vjp(
+        lambda w, y: hm.head_mix_fused(w, y, H=H, B=B, A=A, L=L), w2d, ys)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    (dw_ref, dys_ref), (dw_got, dys_got) = vjp_ref(dz), vjp_got(dz)
+    np.testing.assert_allclose(np.asarray(dw_got), np.asarray(dw_ref),
+                               rtol=1e-4, atol=1e-4)
+    for a, (dr, dg) in enumerate(zip(dys_ref, dys_got)):
+        np.testing.assert_allclose(np.asarray(dg), np.asarray(dr),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"dy[{a}]")
+
+
+def test_headmix_block_rows_vmem_model():
+    # mag / arxiv shapes afford 1024-row blocks; the h136 transpose pass
+    # (136-lane buffers round to 256) must drop to 512 (measured OOM at
+    # 1024 on v5e — scripts/probe_headmix.py)
+    assert hm.headmix_block_rows(8, 4, 1, 44) == 1024
+    assert hm.headmix_block_rows(4, 4, 3, 32) == 1024
+    assert hm.headmix_block_rows(4, 4, 3, 34) == 512
+
+
+def test_egc_layer_same_output_either_headmix_path(monkeypatch):
+    """EGC layer output identical whether the dispatch gate picks the fused
+    head mix (TPU + plan + min-rows) or the XLA path."""
+    from egc_tpu.graph.structure import Graph
+    from egc_tpu.nn.conv.egc import EGConv
+    from egc_tpu.ops.dispatch import build_kernel_plan
+    import egc_tpu.ops.pallas.gather_reduce as gr
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gr.pl, "pallas_call", patched)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    rng = np.random.default_rng(1)
+    n, e, f = 300, 1200, 16
+    senders = rng.integers(0, n, e).astype(np.int32)
+    receivers = rng.integers(0, n, e).astype(np.int32)
+    from egc_tpu.graph.transforms import coalesce_np
+    senders, receivers, _ = coalesce_np(senders, receivers, n)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    plan = build_kernel_plan(senders, receivers, n,
+                             fwd_block_rows=128, fwd_window_rows=256,
+                             bwd_block_rows=256, bwd_window_rows=128)
+    g = Graph.from_coo(x, senders, receivers).replace(kernel_plan=plan)
+
+    conv = EGConv(out_channels=16, num_heads=4, num_bases=4,
+                  aggrs=("symnorm", "max", "mean"), self_loop_mode="paper")
+    params = conv.init(jax.random.key(0), g, g.nodes)["params"]
+
+    def run(v):
+        return conv.apply({"params": params}, g, v)
+
+    monkeypatch.setenv("EGC_TPU_HEADMIX_MIN_ROWS", "0")
+    xv = jnp.asarray(x)
+    out_fused, vjp_f = jax.vjp(run, xv)
+    monkeypatch.setenv("EGC_TPU_FUSED_HEADMIX", "0")
+    out_xla, vjp_x = jax.vjp(run, xv)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+    dz = jnp.asarray(rng.normal(size=out_xla.shape).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(vjp_f(dz)[0]),
+                               np.asarray(vjp_x(dz)[0]),
+                               rtol=1e-4, atol=1e-4)
