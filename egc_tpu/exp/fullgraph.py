@@ -39,7 +39,9 @@ def _round_up(x, m):
 
 def full_graph_to_device_dict(raw: Dict[str, Any], *,
                               wide_aggrs=None,
-                              use_kernel: bool = True) -> Dict[str, Any]:
+                              use_kernel: bool = True,
+                              plan_kwargs: Optional[Dict[str, Any]] = None
+                              ) -> Dict[str, Any]:
     """Pad a host full-graph dict to hardware-friendly sizes + split masks.
 
     With ``use_kernel`` (default), also precomputes the fused-Pallas kernel
@@ -63,6 +65,7 @@ def full_graph_to_device_dict(raw: Dict[str, Any], *,
     if use_kernel:
         from egc_tpu.ops.dispatch import wide_plan_geometry
         geo = wide_plan_geometry(wide_aggrs) if wide_aggrs else {}
+        geo.update(plan_kwargs or {})
         plan = build_kernel_plan(raw["senders"], raw["receivers"], n,
                                  edge_weight=_np.asarray(ew), **geo)
         num_nodes_pad = plan.n_pad
@@ -124,8 +127,16 @@ class FullGraphConfig(ExperimentConfig):
             bl = self.bases * (self.hidden // self.heads)
             if bl > 128:
                 wide_aggrs = self.aggrs or ("symnorm",)
+        # PNA's {mean,min,max,std} set streams 6 backward coeff segments
+        # and dispatches to the narrow transpose plan; 1024-row windows
+        # halve its cell count and measured +3% on the full step
+        # (scripts/probe_pna_geom.py; NOT a global default — the wide-mode
+        # VMEM gate needs the 512-row layout for K=4 256-lane sets).
+        plan_kwargs = ({"bwd_narrow_window_rows": 1024}
+                       if self.model_kind == "pna" else None)
         d = full_graph_to_device_dict(self.load_full_graph(),
-                                      wide_aggrs=wide_aggrs)
+                                      wide_aggrs=wide_aggrs,
+                                      plan_kwargs=plan_kwargs)
         self._avg_log_deg = d["avg_log_deg"]
         return d
 

@@ -87,6 +87,26 @@ class REGConv(nn.Module):
         if self.out_channels % H:
             raise ValueError("out_channels must divide num_heads")
 
+        # The combines z[n,h,l] = sum_k w[n,h,k] * y[n,k,l] are EGC head
+        # mixes (k = bases for the root path, aggr-major A*B for the
+        # relation path); on TPU with fused plans they run on the
+        # transposed-layout kernel (ops/pallas/headmix.py) — the batched
+        # tiny-matmul einsum was the dominant hetero glue at mag scale.
+        import jax as _jax
+
+        from egc_tpu.ops.pallas.headmix import (
+            head_mix_fused, headmix_enabled, headmix_min_rows,
+        )
+
+        def mix(w2d, y2d, n, K):
+            """z[n, h*L+l] = sum_k w2d[n, h*K+k] * y2d[n, k*L+l] -> [n, HL]."""
+            if (_jax.default_backend() == "tpu" and headmix_enabled()
+                    and getattr(hg, "kernel_plans", None)
+                    and n >= headmix_min_rows()):
+                return head_mix_fused(w2d, (y2d,), H=H, B=K, A=1, L=L)
+            return jnp.einsum("nhk,nkl->nhl", w2d.reshape(n, H, K),
+                              y2d.reshape(n, K, L)).reshape(n, H * L)
+
         # shared bases across ALL node types (one Dense reused per type)
         bases_dense = nn.Dense(B * L, use_bias=False,
                                kernel_init=einit.glorot_uniform,
@@ -100,25 +120,24 @@ class REGConv(nn.Module):
                          bias_init=einit.torch_linear_bias(fan_in),
                          name=f"root_comb_{t}")(x_dict[t])
             n = x_dict[t].shape[0]
-            out[t] = jnp.einsum("nhb,nbl->nhl", w.reshape(n, H, B),
-                                bases[t].reshape(n, B, L))
+            out[t] = mix(w, bases[t], n, B)
 
         for key in hg.relations:
             src, _, dst = split_rel_key(key)
             n_dst = hg.num_nodes(dst)
-            # [N_dst, A, B, L] stacked aggregator-major like the reference's
-            # torch.stack(...).view(-1, B*A?, L) (rmag/models.py:135-139)
+            # [N_dst, A, B*L] stacked aggregator-major like the reference's
+            # torch.stack(...).view(-1, B*A?, L) (rmag/models.py:135-139);
+            # flattening gives k-major (k = a*B + b) lanes, matching the
+            # rel_comb weight's (n, H, A*B) reshape
             agg = _rel_multi_aggregate(hg, key, bases[src], n_dst,
-                                       self.aggrs).reshape(n_dst, A * B, L)
+                                       self.aggrs).reshape(n_dst, A * B * L)
             fan_in = x_dict[dst].shape[-1]
             w = nn.Dense(A * H * B, kernel_init=einit.torch_linear_kernel,
                          bias_init=einit.torch_linear_bias(fan_in),
                          name=f"rel_comb_{key}")(x_dict[dst])
-            out[dst] = out[dst] + jnp.einsum(
-                "nhk,nkl->nhl", w.reshape(n_dst, H, A * B), agg)
+            out[dst] = out[dst] + mix(w, agg, n_dst, A * B)
 
-        return {t: v.reshape(v.shape[0], self.out_channels)
-                for t, v in out.items()}
+        return out
 
 
 class REGCNet(nn.Module):

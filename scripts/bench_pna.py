@@ -93,7 +93,10 @@ def main():
     raw = synthetic.synthetic_full_graph(
         num_nodes=169_343, avg_degree=14, num_classes=40, num_features=128,
         seed=0)
-    d = full_graph_to_device_dict(raw)
+    # production PNA geometry (FullGraphConfig.data): 1024-row narrow
+    # transpose windows for the 6-segment backward
+    d = full_graph_to_device_dict(
+        raw, plan_kwargs={"bwd_narrow_window_rows": 1024})
     g = d["graph"]
     e = int(np.asarray(g.edge_mask).sum())
     y, tmask = d["y"], d["masks"]["train"]
