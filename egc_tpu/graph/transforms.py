@@ -97,17 +97,31 @@ def symnorm_weight(
     ``experiments/layers.py:172-178``) is returned separately for the virtual
     self-loop fold. With ``add_self_loops=False``, ``self_w`` is zeros.
 
-    deg_i = (#in-edges of i) + 1[self loops];  w_ij = deg_i^-1/2 deg_j^-1/2.
+    deg_i = (#non-loop in-edges of i) + 1[self loops];
+    w_ij = deg_i^-1/2 deg_j^-1/2.
     Assumes a symmetric graph (as all symnorm call sites in the reference do)
     so sender/receiver degree coincide.
+
+    Pre-existing self-loop edges are DEDUPED into the single canonical
+    self-loop when ``add_self_loops=True`` (their edge weight is zeroed and
+    they do not count toward the degree), matching the reference's
+    ``gcn_norm`` -> ``add_remaining_self_loops`` semantics (PyG drops
+    existing loops and appends exactly one per node) — gated by
+    tests/test_reference_exec.py against the executing reference code.
     """
-    deg = in_degree(receivers, num_nodes, edge_mask, dtype)
+    if add_self_loops:
+        # dedup: existing loop edges are replaced by the canonical loop
+        nonloop = senders != receivers
+        dmask = nonloop if edge_mask is None else (edge_mask & nonloop)
+    else:
+        dmask = edge_mask
+    deg = in_degree(receivers, num_nodes, dmask, dtype)
     if add_self_loops:
         deg = deg + 1.0
     inv_sqrt = jnp.where(deg > 0, jax_rsqrt(deg), jnp.zeros_like(deg))
     edge_w = inv_sqrt[senders] * inv_sqrt[receivers]
-    if edge_mask is not None:
-        edge_w = jnp.where(edge_mask, edge_w, jnp.zeros_like(edge_w))
+    if dmask is not None:
+        edge_w = jnp.where(dmask, edge_w, jnp.zeros_like(edge_w))
     if add_self_loops:
         self_w = inv_sqrt * inv_sqrt  # = 1 / deg
     else:

@@ -11,7 +11,12 @@ weighting options and self-loop policy):
 - the upstreamed ``EGConv`` (reference
   ``experiments/optimized_layers.py:19-286``): fused bases weight, head
   mixing as one batched matmul, optional sigmoid; self-loops added for ALL
-  aggregators. Use ``self_loop_mode="all"``.
+  aggregators. Use ``self_loop_mode="all"``. Precondition: input graphs are
+  self-loop-free (ingestion strips loops); the reference's
+  ``add_remaining_self_loops`` DEDUPS pre-existing loops, while the
+  ``include_self`` fold here would count them twice. The symnorm path
+  dedups exactly (``graph.transforms.symnorm_weight``) — gated by
+  tests/test_reference_exec.py against the executing reference code.
 
 Node-wise formulation (arXiv 2104.01481):
 

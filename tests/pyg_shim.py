@@ -1,0 +1,352 @@
+"""Pure-torch shim of the PyG surface the reference imports.
+
+Purpose (VERDICT r4 item 1): let the ACTUAL reference layer code at
+``/root/reference/experiments/layers.py``, ``optimized_layers.py`` and
+``rmag/models.py`` execute in this environment (torch is installed;
+torch_geometric / torch_scatter / torch_sparse are not) and serve as
+executable ground truth — forward AND backward — for this framework's
+layers, eliminating the hand-transcribed-oracle error class.
+
+The shim implements the documented public semantics of:
+
+- ``torch_scatter.scatter`` (reduce = sum/add/mean/min/max; empty
+  segments -> 0; mean divides by count clamped to 1),
+- ``torch_sparse.SparseTensor`` (transposed-adjacency convention:
+  row = destination, col = source) + ``matmul(adj_t, x, reduce)`` +
+  ``fill_diag``,
+- ``torch_geometric.nn.MessagePassing`` (signature-driven
+  propagate -> message -> aggregate -> update dispatch, ``_j``/``_i``
+  gather resolution, SparseTensor fused ``message_and_aggregate`` path),
+- ``gcn_norm`` (both edge_index and SparseTensor variants, PyG 2.0
+  semantics: deg from the destination column, D^-1/2 A D^-1/2),
+- ``add_remaining_self_loops`` (drop existing loops, append one loop per
+  node at the end, preserving existing loop weights),
+- ``torch_geometric.nn.inits.glorot`` / ``zeros``.
+
+Everything here is written from the public API contracts; nothing is
+copied from PyG or the reference. Only the ~200 lines below are "trusted
+base" — the 700+ lines of reference layer logic run as-is on top.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import inspect
+import math
+import sys
+import types
+
+import torch
+
+REFERENCE_ROOT = "/root/reference"
+
+
+# ---------------------------------------------------------------------------
+# torch_scatter
+# ---------------------------------------------------------------------------
+
+def scatter(src, index, dim=-1, out=None, dim_size=None, reduce="sum"):
+    """torch_scatter.scatter for the call shapes the reference uses
+    (dim resolves to 0, index is 1-D over rows)."""
+    assert out is None, "out= not supported by the shim"
+    dim = dim % src.dim()
+    assert dim == 0, f"shim supports row scatter only, got dim={dim}"
+    if dim_size is None:
+        dim_size = int(index.max().item()) + 1 if index.numel() else 0
+    shape = (dim_size,) + tuple(src.shape[1:])
+    zeros_ = torch.zeros(shape, dtype=src.dtype, device=src.device)
+    if reduce in ("sum", "add"):
+        return zeros_.index_add(0, index, src)
+    if reduce == "mean":
+        s = zeros_.index_add(0, index, src)
+        cnt = torch.zeros(dim_size, dtype=src.dtype).index_add(
+            0, index, torch.ones(index.shape[0], dtype=src.dtype))
+        cnt = cnt.clamp(min=1).view((dim_size,) + (1,) * (src.dim() - 1))
+        return s / cnt
+    if reduce in ("min", "max"):
+        idx = index.view((-1,) + (1,) * (src.dim() - 1)).expand_as(src)
+        return zeros_.scatter_reduce(
+            0, idx, src, "amin" if reduce == "min" else "amax",
+            include_self=False)
+    raise ValueError(f"unknown reduce {reduce!r}")
+
+
+# ---------------------------------------------------------------------------
+# torch_sparse
+# ---------------------------------------------------------------------------
+
+class SparseTensor:
+    """Minimal transposed-adjacency sparse matrix: row = dst, col = src."""
+
+    def __init__(self, row=None, col=None, value=None, sparse_sizes=None):
+        self.row = torch.as_tensor(row, dtype=torch.long)
+        self.col = torch.as_tensor(col, dtype=torch.long)
+        self.value = value
+        if sparse_sizes is None:
+            m = int(self.row.max().item()) + 1 if self.row.numel() else 0
+            n = int(self.col.max().item()) + 1 if self.col.numel() else 0
+            sparse_sizes = (m, n)
+        self._sizes = tuple(sparse_sizes)
+
+    # -- torch_sparse API used by the reference ---------------------------
+    def sparse_sizes(self):
+        return self._sizes
+
+    def size(self, i):
+        return self._sizes[i]
+
+    def has_value(self):
+        return self.value is not None
+
+    def set_value(self, value, layout=None):
+        return SparseTensor(self.row, self.col, value, self._sizes)
+
+    def fill_value(self, v, dtype=None):
+        val = torch.full((self.row.numel(),), float(v),
+                         dtype=dtype or torch.float32)
+        return SparseTensor(self.row, self.col, val, self._sizes)
+
+    def sum(self, dim):
+        assert dim == 1
+        val = self.value if self.value is not None else \
+            torch.ones(self.row.numel())
+        return torch.zeros(self._sizes[0], dtype=val.dtype).index_add(
+            0, self.row, val)
+
+    def matmul(self, x, reduce="sum"):
+        return matmul(self, x, reduce=reduce)
+
+
+def matmul(adj_t, x, reduce="sum"):
+    """torch_sparse.matmul(adj_t, x, reduce): per destination row, reduce
+    value_e * x[col_e] over that row's entries. Empty rows -> 0; mean
+    divides by the entry count (clamped to 1)."""
+    row, col, val = adj_t.row, adj_t.col, adj_t.value
+    gathered = x.index_select(0, col)
+    if val is not None:
+        gathered = gathered * val.view(-1, 1)
+    m = adj_t.sparse_sizes()[0]
+    if reduce in ("sum", "add"):
+        return scatter(gathered, row, 0, None, m, reduce="sum")
+    if reduce == "mean":
+        return scatter(gathered, row, 0, None, m, reduce="mean")
+    if reduce in ("min", "max"):
+        return scatter(gathered, row, 0, None, m, reduce=reduce)
+    raise ValueError(f"unknown reduce {reduce!r}")
+
+
+def fill_diag(adj_t, fill_value):
+    """torch_sparse.diag.fill_diag: replace/insert all diagonal entries
+    with ``fill_value``."""
+    m, n = adj_t.sparse_sizes()
+    k = min(m, n)
+    keep = adj_t.row != adj_t.col
+    row = torch.cat([adj_t.row[keep], torch.arange(k)])
+    col = torch.cat([adj_t.col[keep], torch.arange(k)])
+    if adj_t.value is not None:
+        value = torch.cat([
+            adj_t.value[keep],
+            torch.full((k,), float(fill_value), dtype=adj_t.value.dtype)])
+    else:
+        # entries were implicit ones; keep them implicit only if the fill
+        # is also 1, else materialize
+        if float(fill_value) == 1.0:
+            value = None
+        else:
+            value = torch.cat([
+                torch.ones(int(keep.sum())),
+                torch.full((k,), float(fill_value))])
+    return SparseTensor(row, col, value, (m, n))
+
+
+# ---------------------------------------------------------------------------
+# torch_geometric.utils / inits / gcn_norm
+# ---------------------------------------------------------------------------
+
+def add_remaining_self_loops(edge_index, edge_weight=None, fill_value=1.0,
+                             num_nodes=None):
+    row, col = edge_index[0], edge_index[1]
+    if num_nodes is None:
+        num_nodes = int(edge_index.max().item()) + 1 if edge_index.numel() \
+            else 0
+    mask = row != col
+    loop = torch.arange(num_nodes, dtype=edge_index.dtype)
+    out_index = torch.cat(
+        [edge_index[:, mask], torch.stack([loop, loop])], dim=1)
+    out_weight = None
+    if edge_weight is not None:
+        loop_weight = torch.full((num_nodes,), float(fill_value),
+                                 dtype=edge_weight.dtype)
+        inv = ~mask
+        if int(inv.sum()) > 0:
+            # nodes that already had a self-loop keep its original weight
+            loop_weight[row[inv]] = edge_weight[inv]
+        out_weight = torch.cat([edge_weight[mask], loop_weight])
+    return out_index, out_weight
+
+
+def gcn_norm(edge_index, edge_weight=None, num_nodes=None, improved=False,
+             add_self_loops=True, dtype=None):
+    fill_value = 2.0 if improved else 1.0
+    if isinstance(edge_index, SparseTensor):
+        adj_t = edge_index
+        if not adj_t.has_value():
+            adj_t = adj_t.fill_value(1.0)
+        if add_self_loops:
+            adj_t = fill_diag(adj_t, fill_value)
+            if not adj_t.has_value():
+                adj_t = adj_t.fill_value(1.0)
+        deg = adj_t.sum(dim=1)
+        dinv = deg.pow(-0.5)
+        dinv = dinv.masked_fill(torch.isinf(dinv), 0.0)
+        value = adj_t.value * dinv[adj_t.row] * dinv[adj_t.col]
+        return SparseTensor(adj_t.row, adj_t.col, value,
+                            adj_t.sparse_sizes())
+    if num_nodes is None:
+        num_nodes = int(edge_index.max().item()) + 1
+    if edge_weight is None:
+        edge_weight = torch.ones(edge_index.shape[1])
+    if add_self_loops:
+        edge_index, edge_weight = add_remaining_self_loops(
+            edge_index, edge_weight, fill_value, num_nodes)
+    row, col = edge_index[0], edge_index[1]
+    deg = torch.zeros(num_nodes, dtype=edge_weight.dtype).index_add(
+        0, col, edge_weight)
+    dinv = deg.pow(-0.5)
+    dinv = dinv.masked_fill(torch.isinf(dinv), 0.0)
+    return edge_index, dinv[row] * edge_weight * dinv[col]
+
+
+def glorot(tensor):
+    if tensor is not None:
+        stdv = math.sqrt(6.0 / (tensor.size(-2) + tensor.size(-1)))
+        tensor.data.uniform_(-stdv, stdv)
+
+
+def zeros(tensor):
+    if tensor is not None:
+        tensor.data.fill_(0.0)
+
+
+# ---------------------------------------------------------------------------
+# torch_geometric.nn.MessagePassing
+# ---------------------------------------------------------------------------
+
+class MessagePassing(torch.nn.Module):
+    """Signature-driven propagate dispatch (flow source_to_target)."""
+
+    def __init__(self, aggr="add", flow="source_to_target", node_dim=-2,
+                 **kwargs):
+        super().__init__()
+        assert flow == "source_to_target"
+        self.aggr = aggr
+        self.flow = flow
+        self.node_dim = node_dim
+
+    # -- default hooks ----------------------------------------------------
+    def message(self, x_j):
+        return x_j
+
+    def aggregate(self, inputs, index, ptr=None, dim_size=None):
+        return scatter(inputs, index, dim=self.node_dim, dim_size=dim_size,
+                       reduce=self.aggr)
+
+    def message_and_aggregate(self, adj_t, **kwargs):
+        raise NotImplementedError
+
+    def update(self, inputs):
+        return inputs
+
+    # -- dispatch ---------------------------------------------------------
+    @staticmethod
+    def _fn_kwargs(fn, available, skip=0):
+        """Resolve a hook's keyword args from ``available`` by name,
+        falling back to the parameter's declared default."""
+        out = {}
+        params = list(inspect.signature(fn).parameters.items())[skip:]
+        for name, p in params:
+            if name in available:
+                out[name] = available[name]
+            elif p.default is not inspect.Parameter.empty:
+                out[name] = p.default
+            else:
+                raise TypeError(f"cannot resolve argument {name!r} for "
+                                f"{fn.__qualname__}")
+        return out
+
+    def propagate(self, edge_index=None, size=None, **kwargs):
+        if isinstance(edge_index, SparseTensor):
+            maa = self.message_and_aggregate
+            extra = self._fn_kwargs(maa, kwargs, skip=1)
+            out = maa(edge_index, **extra)
+            return self.update(out, **self._fn_kwargs(self.update, kwargs,
+                                                      skip=1))
+        row, col = edge_index[0], edge_index[1]   # j = source, i = target
+
+        gathered = {}
+        for name in inspect.signature(self.message).parameters:
+            if name.endswith("_j"):
+                gathered[name] = kwargs[name[:-2]].index_select(0, row)
+            elif name.endswith("_i"):
+                gathered[name] = kwargs[name[:-2]].index_select(0, col)
+        avail = dict(kwargs)
+        avail.update(gathered)
+        msg = self.message(**self._fn_kwargs(self.message, avail))
+
+        dim_size = kwargs["x"].shape[0] if size is None else size
+        avail_agg = dict(kwargs)
+        avail_agg.update(index=col, ptr=None, dim_size=dim_size)
+        out = self.aggregate(msg, **self._fn_kwargs(self.aggregate,
+                                                    avail_agg, skip=1))
+        return self.update(out, **self._fn_kwargs(self.update, kwargs,
+                                                  skip=1))
+
+
+# ---------------------------------------------------------------------------
+# module installation + reference loading
+# ---------------------------------------------------------------------------
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    return m
+
+
+def install():
+    """Register the fake torch_geometric / torch_scatter / torch_sparse
+    modules in sys.modules (idempotent)."""
+    if "torch_scatter" in sys.modules and \
+            getattr(sys.modules["torch_scatter"], "_egc_tpu_shim", False):
+        return
+    ts = _mod("torch_scatter", scatter=scatter)
+    ts._egc_tpu_shim = True
+    tsp = _mod("torch_sparse", SparseTensor=SparseTensor, matmul=matmul)
+    tsp.diag = _mod("torch_sparse.diag", fill_diag=fill_diag)
+
+    tg = _mod("torch_geometric")
+    tg.nn = _mod("torch_geometric.nn", MessagePassing=MessagePassing)
+    tg.nn.conv = _mod("torch_geometric.nn.conv",
+                      MessagePassing=MessagePassing)
+    tg.nn.conv.gcn_conv = _mod("torch_geometric.nn.conv.gcn_conv",
+                               gcn_norm=gcn_norm)
+    tg.nn.inits = _mod("torch_geometric.nn.inits", glorot=glorot,
+                       zeros=zeros)
+    tg.typing = _mod("torch_geometric.typing", Adj=object, OptTensor=object)
+    tg.utils = _mod("torch_geometric.utils",
+                    add_remaining_self_loops=add_remaining_self_loops)
+
+
+def load_reference(relpath, name=None):
+    """Exec a reference source file under the shim and return the module."""
+    install()
+    path = f"{REFERENCE_ROOT}/{relpath}"
+    name = name or "ref_" + relpath.replace("/", "_").removesuffix(".py")
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod

@@ -1,0 +1,406 @@
+"""Executed-reference parity: the ACTUAL reference layer code as oracle.
+
+VERDICT r4 item 1. Every earlier parity test compares against numpy
+transcriptions of the reference math; these tests instead EXECUTE the
+reference sources (``/root/reference/experiments/layers.py``,
+``optimized_layers.py``, ``rmag/models.py``) under the pure-torch PyG shim
+(:mod:`pyg_shim`) and gate this framework's layers on forward AND backward
+(input + every parameter gradient) allclose against them, across the
+reference's tuned aggregator sets and weighting variants.
+
+Weight transfer uses the same :mod:`egc_tpu.exp.weight_port` rules the
+pretrained-checkpoint importer uses, so a divergence here implicates either
+the layer math or the porting layout — both things this suite must gate.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+import pyg_shim  # noqa: E402
+from egc_tpu.graph import Graph  # noqa: E402
+from egc_tpu.graph.hetero import hetero_from_numpy, rel_key  # noqa: E402
+from egc_tpu.nn.conv.egc import EGConv  # noqa: E402
+from egc_tpu.nn.conv.mpnn import MPNNConv  # noqa: E402
+from egc_tpu.nn.conv.hetero import RGCNConv, REGConv  # noqa: E402
+from egc_tpu.exp import weight_port as wp  # noqa: E402
+
+
+FWD = dict(rtol=1e-4, atol=1e-5)
+BWD = dict(rtol=5e-4, atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_layers():
+    return pyg_shim.load_reference("experiments/layers.py")
+
+
+@pytest.fixture(scope="module")
+def ref_opt():
+    return pyg_shim.load_reference("experiments/optimized_layers.py")
+
+
+@pytest.fixture(scope="module")
+def ref_rmag():
+    return pyg_shim.load_reference("experiments/rmag/models.py")
+
+
+def rand_graph(rng, n=30, e=85, with_loops=True):
+    """Random COO graph; node 0 is isolated (empty-segment case).
+
+    The isolated node is NOT the max-indexed one: the reference's
+    optimized path calls ``add_remaining_self_loops(edge_index)`` without
+    ``num_nodes`` (optimized_layers.py:163), inferring the node count from
+    the max edge index — a trailing isolated node would get no self-loop
+    there, an indexing quirk (SURVEY §7.3 class) this framework does not
+    replicate.
+
+    ``with_loops`` plants an existing self-loop (the reference's
+    ``gcn_norm``/``add_remaining_self_loops`` dedup case — symnorm paths
+    handle it exactly). The ``self_loop_mode="all"`` non-symnorm fold
+    instead documents loop-free inputs as a precondition (ingestion strips
+    loops; see EGConv docstring), so those cases pass ``with_loops=False``.
+
+    Edges are DEDUPED: duplicate (s, r) pairs carry identical messages, so
+    max/min gradients hit ties there — and tie cotangent routing is
+    implementation-defined even between the reference's own backends
+    (torch ``scatter_reduce`` splits among ties, torch_scatter's CUDA
+    kernel picks one argmax, this framework routes the full cotangent to
+    every tie). Reference datasets carry no duplicate edges.
+    """
+    s = rng.integers(1, n, e).astype(np.int64)
+    r = rng.integers(1, n, e).astype(np.int64)
+    s[1], r[1] = n - 1, 1   # ensure the max index appears
+    if with_loops:
+        s[0] = r[0] = 3  # existing self-loop
+    else:
+        loop = s == r
+        r[loop] = 1 + (s[loop] % (n - 1))
+        loop = s == r
+        r[loop] = 1 + ((s[loop] + 1) % (n - 1))
+    pair = np.unique(np.stack([s, r], axis=1), axis=0)
+    return (np.ascontiguousarray(pair[:, 0]),
+            np.ascontiguousarray(pair[:, 1]))
+
+
+def apply_import_rules(rules, sd, variables):
+    """Layer-scope version of weight_port.import_model_state."""
+    out = wp._unfreeze(variables)
+    for path, fn in rules.imports:
+        v = np.asarray(fn(sd))
+        tmpl = np.asarray(wp._get_path(variables, path))
+        assert v.shape == tmpl.shape, (path, v.shape, tmpl.shape)
+        wp._set_path(out, path, v.astype(tmpl.dtype))
+    return out
+
+
+def torch_sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def torch_grads(module):
+    return {k: p.grad.detach().numpy()
+            for k, p in module.named_parameters()}
+
+
+def check_param_grads(rules, tgrads, jgrads):
+    """Map torch param grads through the SAME (linear) import rules and
+    compare against the jax param-grad pytree."""
+    tree = {"params": jax.tree.map(np.asarray, jgrads)}
+    mapped = apply_import_rules(rules, tgrads, tree)
+    for path, _ in rules.imports:
+        want = np.asarray(wp._get_path(mapped, path))
+        got = np.asarray(wp._get_path(tree, path))
+        np.testing.assert_allclose(got, want, err_msg="/".join(path), **BWD)
+
+
+# ---------------------------------------------------------------------------
+# paper EfficientGraphConv (experiments/layers.py:11-147)
+# ---------------------------------------------------------------------------
+
+PAPER_CASES = [
+    # (aggrs, weighting) — the reference's tuned sets + every gating variant
+    (("symadd",), "softmax"),                # EGC-S (zinc/cifar/arxiv rows)
+    (("add", "std", "max"), "none"),         # zinc EGC-M
+    (("symadd", "max", "mean"), "none"),     # arxiv EGC-M
+    (("symadd", "min", "max"), "none"),      # code2 EGC-M
+    (("add", "mean", "max", "min", "symadd", "var", "std"), "none"),
+    (("symadd", "std"), "sigmoid"),
+    (("add", "max"), "hardtanh"),
+]
+
+
+@pytest.mark.parametrize("aggrs,weighting", PAPER_CASES)
+def test_paper_egc_exec(ref_layers, rng, aggrs, weighting):
+    n, in_c, out_c, H, B = 30, 20, 24, 4, 4
+    s, r = rand_graph(rng, n)
+    x = rng.normal(size=(n, in_c)).astype(np.float32)
+    cot = rng.normal(size=(n, out_c)).astype(np.float32)
+
+    torch.manual_seed(7)
+    layer = ref_layers.EfficientGraphConv(
+        in_c, out_c, H, B,
+        softmax_weights=weighting == "softmax",
+        sigmoid_weights=weighting == "sigmoid",
+        hardtanh_weights=weighting == "hardtanh",
+        aggrs=list(aggrs))
+    xt = torch.tensor(x, requires_grad=True)
+    ei = torch.tensor(np.stack([s, r]))
+    out_t = layer(xt, ei)
+    (out_t * torch.tensor(cot)).sum().backward()
+
+    model = EGConv(out_channels=out_c, num_heads=H, num_bases=B,
+                   aggrs=aggrs, weighting=weighting, self_loop_mode="paper")
+    g = Graph.from_coo(jnp.asarray(x), s.astype(np.int32),
+                       r.astype(np.int32))
+    variables = model.init(jax.random.key(0), g, jnp.asarray(x))
+    rules = wp._Rules()
+    wp._egc_paper_rules(rules, ("params",), "", B)
+    variables = apply_import_rules(rules, torch_sd(layer), variables)
+
+    def loss(params, xj):
+        out = model.apply({"params": params}, g, xj)
+        return jnp.sum(out * jnp.asarray(cot)), out
+
+    (_, out_j), (gp, gx) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(variables["params"],
+                                            jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.detach().numpy(), **FWD)
+    np.testing.assert_allclose(np.asarray(gx), xt.grad.numpy(), **BWD)
+    check_param_grads(rules, torch_grads(layer), gp)
+
+
+# ---------------------------------------------------------------------------
+# optimized EGConv (experiments/optimized_layers.py:19-286)
+# ---------------------------------------------------------------------------
+
+OPT_CASES = [
+    (("symnorm",), False),                   # EGC-S / mag h352 row
+    (("sum", "mean", "max"), False),         # hiv EGC-M
+    (("symnorm", "min", "var", "std"), False),
+    (("mean", "max"), True),                 # sigmoid gating
+]
+
+
+@pytest.mark.parametrize("aggrs,sigmoid", OPT_CASES)
+@pytest.mark.parametrize("sparse", [False, True])
+def test_optimized_egconv_exec(ref_opt, rng, aggrs, sigmoid, sparse):
+    n, in_c, out_c, H, B = 30, 20, 24, 4, 4
+    s, r = rand_graph(rng, n, with_loops=False)
+    x = rng.normal(size=(n, in_c)).astype(np.float32)
+    cot = rng.normal(size=(n, out_c)).astype(np.float32)
+
+    torch.manual_seed(11)
+    layer = ref_opt.EGConv(in_c, out_c, aggrs=list(aggrs), num_heads=H,
+                           num_bases=B, sigmoid=sigmoid)
+    xt = torch.tensor(x, requires_grad=True)
+    if sparse:
+        # transposed-adjacency convention: row = dst, col = src
+        adj = pyg_shim.SparseTensor(row=torch.tensor(r), col=torch.tensor(s),
+                                    sparse_sizes=(n, n))
+        out_t = layer(xt, adj)
+    else:
+        out_t = layer(xt, torch.tensor(np.stack([s, r])))
+    (out_t * torch.tensor(cot)).sum().backward()
+
+    model = EGConv(out_channels=out_c, num_heads=H, num_bases=B,
+                   aggrs=aggrs, weighting="sigmoid" if sigmoid else "none",
+                   self_loop_mode="all")
+    g = Graph.from_coo(jnp.asarray(x), s.astype(np.int32),
+                       r.astype(np.int32))
+    variables = model.init(jax.random.key(0), g, jnp.asarray(x))
+    rules = wp._Rules()
+    wp._egc_optimized_rules(rules, ("params",), "", H, B, len(aggrs))
+    variables = apply_import_rules(rules, torch_sd(layer), variables)
+
+    def loss(params, xj):
+        out = model.apply({"params": params}, g, xj)
+        return jnp.sum(out * jnp.asarray(cot)), out
+
+    (_, out_j), (gp, gx) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(variables["params"],
+                                            jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.detach().numpy(), **FWD)
+    np.testing.assert_allclose(np.asarray(gx), xt.grad.numpy(), **BWD)
+    check_param_grads(rules, torch_grads(layer), gp)
+
+
+def test_optimized_egconv_sparse_equals_dense(ref_opt, rng):
+    """The reference's own two dispatch paths must agree under the shim —
+    a self-consistency check on the shim itself."""
+    n, in_c, out_c = 30, 20, 24
+    s, r = rand_graph(rng, n, with_loops=False)
+    x = rng.normal(size=(n, in_c)).astype(np.float32)
+    torch.manual_seed(3)
+    layer = ref_opt.EGConv(in_c, out_c, num_heads=4, num_bases=4,
+                           aggrs=["symnorm", "mean", "max", "std"])
+    out_dense = layer(torch.tensor(x), torch.tensor(np.stack([s, r])))
+    adj = pyg_shim.SparseTensor(row=torch.tensor(r), col=torch.tensor(s),
+                                sparse_sizes=(n, n))
+    out_sparse = layer(torch.tensor(x), adj)
+    np.testing.assert_allclose(out_sparse.detach().numpy(),
+                               out_dense.detach().numpy(), **FWD)
+
+
+# ---------------------------------------------------------------------------
+# towered MPNN (experiments/layers.py:231-267)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("aggr", ["sum", "max"])
+def test_mpnn_exec(ref_layers, rng, aggr):
+    n, d = 30, 16
+    s, r = rand_graph(rng, n)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    cot = rng.normal(size=(n, d)).astype(np.float32)
+
+    torch.manual_seed(5)
+    layer = ref_layers.Mpnn(aggr, d, d, towers=4)
+    xt = torch.tensor(x, requires_grad=True)
+    out_t = layer(xt, torch.tensor(np.stack([s, r])))
+    (out_t * torch.tensor(cot)).sum().backward()
+
+    model = MPNNConv(out_channels=d, aggr=aggr, towers=4)
+    g = Graph.from_coo(jnp.asarray(x), s.astype(np.int32),
+                       r.astype(np.int32))
+    variables = model.init(jax.random.key(0), g, jnp.asarray(x))
+    rules = wp._Rules()
+    wp._conv_rules(rules, "mpnn-" + aggr, ("params",), "")
+    variables = apply_import_rules(rules, torch_sd(layer), variables)
+
+    def loss(params, xj):
+        out = model.apply({"params": params}, g, xj)
+        return jnp.sum(out * jnp.asarray(cot)), out
+
+    (_, out_j), (gp, gx) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(variables["params"],
+                                            jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out_j),
+                               out_t.detach().numpy(), **FWD)
+    np.testing.assert_allclose(np.asarray(gx), xt.grad.numpy(), **BWD)
+    check_param_grads(rules, torch_grads(layer), gp)
+
+
+# ---------------------------------------------------------------------------
+# hetero RGCNConv / REGConv (experiments/rmag/models.py:30-148)
+# ---------------------------------------------------------------------------
+
+def hetero_fixture(ref_rmag, rng, in_c):
+    """Tiny graph over the reference's FULL mag schema (its ModuleDicts are
+    keyed by the global NODE_TYPES / EDGE_TYPES constants)."""
+    counts = {"author": 9, "field_of_study": 7, "institution": 5,
+              "paper": 11}
+    x_np = {t: rng.normal(size=(c, in_c)).astype(np.float32)
+            for t, c in counts.items()}
+    edges_t = {}   # tuple key -> SparseTensor (row=dst, col=src)
+    edges_j = {}   # our rel key -> (senders, receivers)
+    for st, rel, dt in ref_rmag.EDGE_TYPES:
+        e = 20
+        src = rng.integers(0, counts[st], e).astype(np.int64)
+        dst = rng.integers(0, counts[dt], e).astype(np.int64)
+        # dedup: duplicate pairs tie in max (see rand_graph docstring)
+        pair = np.unique(np.stack([src, dst], axis=1), axis=0)
+        src, dst = pair[:, 0].copy(), pair[:, 1].copy()
+        edges_t[(st, rel, dt)] = pyg_shim.SparseTensor(
+            row=torch.tensor(dst), col=torch.tensor(src),
+            sparse_sizes=(counts[dt], counts[st]))
+        edges_j[rel_key(st, rel, dt)] = (src.astype(np.int32),
+                                         dst.astype(np.int32))
+    hg = hetero_from_numpy(x_np, edges_j)
+    return counts, x_np, edges_t, hg
+
+
+def hetero_compare(counts, out_t_dict, out_j_dict, tol):
+    for t, c in counts.items():
+        np.testing.assert_allclose(
+            np.asarray(out_j_dict[t])[:c],
+            out_t_dict[t].detach().numpy() if hasattr(out_t_dict[t], "detach")
+            else out_t_dict[t],
+            err_msg=t, **tol)
+
+
+def test_rgcnconv_exec(ref_rmag, rng):
+    in_c, out_c = 12, 8
+    counts, x_np, edges_t, hg = hetero_fixture(ref_rmag, rng, in_c)
+    cot = {t: rng.normal(size=(c, out_c)).astype(np.float32)
+           for t, c in counts.items()}
+
+    torch.manual_seed(13)
+    layer = ref_rmag.RGCNConv(in_c, out_c)
+    xt = {t: torch.tensor(v, requires_grad=True) for t, v in x_np.items()}
+    out_t = layer(xt, edges_t)
+    sum(
+        (out_t[t] * torch.tensor(cot[t])).sum() for t in counts
+    ).backward()
+
+    model = RGCNConv(out_channels=out_c)
+    x_dict = {t: jnp.asarray(v) for t, v in hg.nodes.items()}
+    variables = model.init(jax.random.key(0), hg, x_dict)
+    rules = wp._Rules()
+    for t in counts:
+        rules.linear(("params", f"root_{t}"), f"root_lins.{t}.")
+    for st, rel, dt in ref_rmag.EDGE_TYPES:
+        rules.linear(("params", f"rel_{rel_key(st, rel, dt)}"),
+                     f"rel_lins.{st}_{rel}_{dt}.", bias=False)
+    variables = apply_import_rules(rules, torch_sd(layer), variables)
+
+    def loss(params, xd):
+        out = model.apply({"params": params}, hg, xd)
+        return sum(jnp.sum(out[t][:c] * jnp.asarray(cot[t]))
+                   for t, c in counts.items()), out
+
+    (_, out_j), (gp, gx) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(variables["params"], x_dict)
+    hetero_compare(counts, out_t, out_j, FWD)
+    for t, c in counts.items():
+        np.testing.assert_allclose(np.asarray(gx[t])[:c],
+                                   xt[t].grad.numpy(), err_msg=t, **BWD)
+    check_param_grads(rules, torch_grads(layer), gp)
+
+
+def test_regconv_exec(ref_rmag, rng):
+    in_c, out_c, H, B = 12, 8, 4, 4
+    counts, x_np, edges_t, hg = hetero_fixture(ref_rmag, rng, in_c)
+    cot = {t: rng.normal(size=(c, out_c)).astype(np.float32)
+           for t, c in counts.items()}
+
+    torch.manual_seed(17)
+    layer = ref_rmag.REGConv(in_c, out_c, H, B)
+    xt = {t: torch.tensor(v, requires_grad=True) for t, v in x_np.items()}
+    out_t = layer(xt, edges_t)
+    sum(
+        (out_t[t] * torch.tensor(cot[t])).sum() for t in counts
+    ).backward()
+
+    model = REGConv(out_channels=out_c, num_heads=H, num_bases=B)
+    x_dict = {t: jnp.asarray(v) for t, v in hg.nodes.items()}
+    variables = model.init(jax.random.key(0), hg, x_dict)
+    rules = wp._Rules()
+    rules.add(("params", "bases", "kernel"),
+              lambda sd: np.asarray(sd["bases_weight"]),
+              lambda v: {"bases_weight": np.asarray(v)},
+              ["bases_weight"])
+    for t in counts:
+        rules.linear(("params", f"root_comb_{t}"), f"root_combs.{t}.")
+    for st, rel, dt in ref_rmag.EDGE_TYPES:
+        rules.linear(("params", f"rel_comb_{rel_key(st, rel, dt)}"),
+                     f"rel_combs.{st}_{rel}_{dt}.")
+    variables = apply_import_rules(rules, torch_sd(layer), variables)
+
+    def loss(params, xd):
+        out = model.apply({"params": params}, hg, xd)
+        return sum(jnp.sum(out[t][:c] * jnp.asarray(cot[t]))
+                   for t, c in counts.items()), out
+
+    (_, out_j), (gp, gx) = jax.value_and_grad(
+        loss, argnums=(0, 1), has_aux=True)(variables["params"], x_dict)
+    hetero_compare(counts, out_t, out_j, FWD)
+    for t, c in counts.items():
+        np.testing.assert_allclose(np.asarray(gx[t])[:c],
+                                   xt[t].grad.numpy(), err_msg=t, **BWD)
+    check_param_grads(rules, torch_grads(layer), gp)

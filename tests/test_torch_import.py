@@ -286,9 +286,12 @@ def test_import_strict_flags_leftovers(tmp_path, rng):
 
 def _gcn_norm_np(s, r, n):
     """gcn_norm(A + I), improved=False: w_ij = 1/sqrt(d_i d_j) with degrees
-    counted after adding self loops (PyG gcn_conv.gcn_norm)."""
-    s2 = np.concatenate([s, np.arange(n)])
-    r2 = np.concatenate([r, np.arange(n)])
+    counted after adding self loops (PyG gcn_conv.gcn_norm). Pre-existing
+    loop edges are DEDUPED into the single added loop — verified against the
+    executing reference code (tests/test_reference_exec.py)."""
+    keep = s != r
+    s2 = np.concatenate([s[keep], np.arange(n)])
+    r2 = np.concatenate([r[keep], np.arange(n)])
     deg = np.zeros(n)
     np.add.at(deg, r2, 1.0)
     dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
