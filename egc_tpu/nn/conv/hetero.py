@@ -98,11 +98,18 @@ class REGConv(nn.Module):
             head_mix_fused, headmix_enabled, headmix_min_rows,
         )
 
+        # The head mix is a node-level op, so the plans condition is only a
+        # proxy for "not a plan-free shard_map check_vma=True step" (where
+        # a Pallas call would not trace). Require a plan for EVERY relation
+        # — a partial plans dict means mixed dispatch and we stay on XLA.
+        plans = getattr(hg, "kernel_plans", None) or {}
+        plans_complete = bool(plans) and all(k in plans
+                                             for k in hg.relations)
+
         def mix(w2d, y2d, n, K):
             """z[n, h*L+l] = sum_k w2d[n, h*K+k] * y2d[n, k*L+l] -> [n, HL]."""
             if (_jax.default_backend() == "tpu" and headmix_enabled()
-                    and getattr(hg, "kernel_plans", None)
-                    and n >= headmix_min_rows()):
+                    and plans_complete and n >= headmix_min_rows()):
                 return head_mix_fused(w2d, (y2d,), H=H, B=K, A=1, L=L)
             return jnp.einsum("nhk,nkl->nhl", w2d.reshape(n, H, K),
                               y2d.reshape(n, K, L)).reshape(n, H * L)

@@ -44,13 +44,18 @@ def _lanes128(c: int) -> int:
 def headmix_block_rows(H: int, B: int, A: int, L: int,
                        budget_bytes: int = 12 << 20) -> int:
     """Largest power-of-two row block whose double-buffered in/out blocks
-    (lane-padded to 128) fit the scoped-VMEM budget for BOTH passes."""
+    (lane-padded to 128) fit the scoped-VMEM budget for BOTH passes.
+
+    Returns 0 when even the R=128 configuration exceeds the budget (an
+    extreme H*B*A shape) — callers must fall back to the XLA head mix."""
     F, O, W = B * L, H * L, H * B * A
     fwd_lanes = _lanes128(W) + A * _lanes128(F) + _lanes128(O)
     bwd_lanes = fwd_lanes + _lanes128(W) + A * _lanes128(F)
     r = 1024
     while r > 128 and bwd_lanes * r * 4 * 2 > budget_bytes:
         r //= 2
+    if bwd_lanes * r * 4 * 2 > budget_bytes:
+        return 0
     return r
 
 
@@ -159,17 +164,35 @@ def _make_headmix(n: int, H: int, B: int, A: int, L: int, R: int):
     return f
 
 
+def _head_mix_xla(w2d, ys, H, B, A, L):
+    """XLA broadcast-reduce head mix (same contraction, used when the
+    kernel's VMEM model rejects the shape)."""
+    n = w2d.shape[0]
+    y = jnp.stack(ys, axis=1).reshape(n, A * B, L)              # k = a*B+b
+    w = w2d.reshape(n, H, B, A).transpose(0, 1, 3, 2).reshape(n, H, A * B)
+    return jnp.sum(w[..., None] * y[:, None], axis=2).reshape(n, H * L)
+
+
 def head_mix_fused(w2d: jnp.ndarray, ys, *, H: int, B: int, A: int,
                    L: int) -> jnp.ndarray:
     """Fused head mix: w2d [n, H*B*A] (h-major, then b, then a — the
     ``comb`` Dense layout) x per-aggregator ys (A arrays [n, B*L]) ->
-    [n, H*L]. Rows are padded to the block size and sliced back."""
+    [n, H*L]. Rows are padded to the block size and sliced back.
+
+    float32 only (the kernel math and its VMEM model assume 4-byte lanes);
+    non-f32 inputs raise rather than mis-typing inside the kernel."""
     ys = tuple(ys)
     n = w2d.shape[0]
     if w2d.shape[1] != H * B * A or any(y.shape != (n, B * L) for y in ys) \
             or len(ys) != A:
         raise ValueError("head_mix_fused: inconsistent shapes")
+    if w2d.dtype != jnp.float32 or any(y.dtype != jnp.float32 for y in ys):
+        raise TypeError(
+            f"head_mix_fused is float32-only (got w2d {w2d.dtype}, ys "
+            f"{[str(y.dtype) for y in ys]}); cast or use the XLA head mix")
     R = headmix_block_rows(H, B, A, L)
+    if R == 0:   # shape exceeds scoped VMEM even at R=128 — XLA fallback
+        return _head_mix_xla(w2d, ys, H, B, A, L)
     n_pad = ((n + R - 1) // R) * R
     if n_pad != n:
         w2d = jnp.pad(w2d, ((0, n_pad - n), (0, 0)))

@@ -2,11 +2,14 @@
 
 Makes docs/SCALING.md's multi-host recipe executable without TPU pods: two
 OS processes each own 4 virtual CPU devices, ``jax.distributed.initialize``
-wires them into one 8-device runtime, and a global ``data``-axis mesh runs
-(a) a psum sanity collective and (b) ONE data-parallel batched train step
+wires them into one 8-device runtime, and a global mesh runs
+(a) a psum sanity collective, (b) ONE data-parallel batched train step
 with globally-sharded inputs (``jax.make_array_from_single_device_arrays``
 from per-process microbatches — the exact multi-host pattern for the DP
-path, egc_tpu.parallel.dp).
+path, egc_tpu.parallel.dp), and (c) ONE graph-partitioned full-graph train
+step (halo ``all_to_all`` + sync-BN + grad psums over the ``graph`` axis,
+egc_tpu.parallel.halo) — the flagship distributed path crossing a real
+process boundary.
 
 Usage:  python scripts/multihost_smoke.py              # launcher (spawns 2)
         python scripts/multihost_smoke.py --worker I   # internal
@@ -14,7 +17,7 @@ Usage:  python scripts/multihost_smoke.py              # launcher (spawns 2)
             8-device run of the SAME step (no jax.distributed) — the
             numeric reference the 2-process run must reproduce.
 
-Prints one JSON line: {"ok": true, "loss": ..., "psum": 8.0}.
+Prints one JSON line: {"ok": true, "loss": ..., "ploss": ..., "psum": 8.0}.
 """
 
 import json
@@ -120,10 +123,77 @@ def worker(pid: int, nproc: int = NPROC, local_devices: int = LOCAL_DEVICES,
     loss = float(np.asarray(
         jax.experimental.multihost_utils.process_allgather(
             loss.reshape(1), tiled=True)).reshape(-1)[0])
+
+    # (c) one GRAPH-PARTITIONED train step — the flagship distributed
+    # path: halo all_to_all + sync-BN psums + grad psums cross PROCESS
+    # boundaries (Gloo) here, not just the single-process virtual mesh
+    # (VERDICT r4 item 7). Same seeds as --reference, which must match.
+    from egc_tpu.graph.structure import Graph
+    from egc_tpu.graph.transforms import symnorm_weight
+    from egc_tpu.models.nets import ArxivNet
+    from egc_tpu.parallel import (
+        partition_graph, DistributedNodeClassifier,
+        make_partitioned_train_step,
+    )
+
+    raw = synthetic.synthetic_full_graph(
+        num_nodes=240, avg_degree=6, num_classes=4, num_features=8, seed=7)
+    n = raw["x"].shape[0]
+    conv_p = ConvSpec(kind="egc", heads=2, bases=2,
+                      aggrs=("symnorm", "max"))
+    ref_net = ArxivNet(conv=conv_p, hidden_dim=16, num_layers=2,
+                       dropout=0.0, residual=True, num_features=8,
+                       num_classes=4)
+    g0p = jax.tree.map(jnp.asarray, Graph.from_coo(
+        raw["x"], raw["senders"], raw["receivers"]))
+    pvars = ref_net.init(jax.random.key(1), g0p, train=False)
+
+    ew, sw = symnorm_weight(jnp.asarray(raw["senders"]),
+                            jnp.asarray(raw["receivers"]), n)
+    plan = partition_graph(raw["senders"], raw["receivers"], n, n_dev,
+                           method="bfs", sym_edge_w=np.asarray(ew),
+                           sym_self_w=np.asarray(sw))
+    x_ext = np.zeros((n_dev, plan.n_ext, 8), np.float32)
+    x_ext[:, :plan.n_local] = plan.scatter_nodes(raw["x"])
+    gl = plan.extended_graph(x_ext)
+    tmask = np.zeros(n, bool)
+    tmask[raw["train_idx"]] = True
+
+    gmesh = Mesh(devices, ("graph",))
+
+    def to_global_p(x):
+        x = np.asarray(x)
+        locs = []
+        for k, d in enumerate(jax.local_devices()):
+            gdev = pid * local_devices + k
+            locs.append(jax.device_put(jnp.asarray(x[gdev:gdev + 1]), d))
+        return jax.make_array_from_single_device_arrays(
+            x.shape, NamedSharding(gmesh, P("graph")), locs)
+
+    dnet = DistributedNodeClassifier(conv=conv_p, hidden_dim=16,
+                                     num_layers=2, dropout=0.0,
+                                     residual=True, num_features=8,
+                                     num_classes=4,
+                                     e_interior=plan.e_interior)
+    pstate = TrainState.create(params=pvars["params"],
+                               batch_stats=pvars["batch_stats"],
+                               tx=make_optimizer(1e-3, 0.0))
+    pstep = make_partitioned_train_step(dnet, gmesh)
+    gl_g = jax.tree.map(to_global_p, gl)
+    sidx_g = to_global_p(plan.send_idx)
+    y_g = to_global_p(plan.scatter_nodes(raw["y"]))
+    m_g = to_global_p(plan.scatter_nodes(tmask))
+    _, ploss = pstep(pstate, gl_g, sidx_g, y_g, m_g, jax.random.key(0))
+    ploss = float(np.asarray(
+        jax.experimental.multihost_utils.process_allgather(
+            ploss.reshape(1), tiled=True)).reshape(-1)[0])
+
     if pid == 0:
         print(json.dumps({"ok": bool(np.isfinite(loss)
+                                     and np.isfinite(ploss)
                                      and psum_val == n_dev),
-                          "loss": loss, "psum": psum_val}), flush=True)
+                          "loss": loss, "ploss": ploss,
+                          "psum": psum_val}), flush=True)
     if distributed:
         jax.distributed.shutdown()
 

@@ -71,6 +71,134 @@ def test_headmix_block_rows_vmem_model():
     assert hm.headmix_block_rows(4, 4, 3, 34) == 512
 
 
+def test_regconv_same_output_either_headmix_path(monkeypatch, rng):
+    """Hetero REGConv output identical whichever head-mix path the gate
+    picks — covers BOTH the root (K=B) and relation (K=A*B, a-major)
+    mixes (VERDICT r4 item 2; reference rmag/models.py:116-143)."""
+    from egc_tpu.graph.hetero import (
+        attach_hetero_kernel_plans, hetero_from_numpy, rel_key,
+    )
+    from egc_tpu.nn.conv.hetero import REGConv
+    import egc_tpu.ops.pallas.gather_reduce as gr
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gr.pl, "pallas_call", patched)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("EGC_TPU_HEADMIX_MIN_ROWS", "0")
+
+    nodes = {
+        "p": rng.normal(size=(60, 16)).astype(np.float32),
+        "q": rng.normal(size=(45, 16)).astype(np.float32),
+    }
+    edges = {}
+    for key, (ns, nd) in ((rel_key("p", "to", "q"), (60, 45)),
+                          (rel_key("q", "back", "p"), (45, 60)),
+                          (rel_key("p", "cites", "p"), (60, 60))):
+        s = rng.integers(0, ns, 200).astype(np.int32)
+        r = rng.integers(0, nd, 200).astype(np.int32)
+        edges[key] = (s, r)
+    geom = dict(fwd_block_rows=128, fwd_window_rows=256,
+                bwd_block_rows=256, bwd_window_rows=128)
+    hg = jax.tree.map(jnp.asarray, attach_hetero_kernel_plans(
+        hetero_from_numpy(nodes, edges), **geom))
+
+    conv = REGConv(16, num_heads=4, num_bases=4)   # root K=4, rel K=8
+    x_dict = {t: hg.nodes[t] for t in hg.node_types}
+    params = conv.init(jax.random.key(0), hg, x_dict)["params"]
+
+    def run(xd):
+        return conv.apply({"params": params}, hg, xd)
+
+    def flat(out):
+        return jnp.concatenate([out[t] for t in sorted(out)], axis=0)
+
+    out_fused, vjp_f = jax.vjp(lambda xd: flat(run(xd)), x_dict)
+    monkeypatch.setenv("EGC_TPU_FUSED_HEADMIX", "0")
+    out_xla, vjp_x = jax.vjp(lambda xd: flat(run(xd)), x_dict)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+    dz = jnp.asarray(rng.normal(size=out_xla.shape).astype(np.float32))
+    gf, gx = vjp_f(dz)[0], vjp_x(dz)[0]
+    for t in sorted(gf):
+        np.testing.assert_allclose(np.asarray(gf[t]), np.asarray(gx[t]),
+                                   rtol=1e-4, atol=1e-4, err_msg=t)
+
+
+def test_regconv_partial_plans_stays_on_xla(monkeypatch, rng):
+    """A hetero graph carrying plans for only SOME relations must not
+    engage the fused head mix (ADVICE r4: partial dicts mean mixed
+    aggregation dispatch; the mix then stays on XLA too)."""
+    from egc_tpu.graph.hetero import (
+        attach_hetero_kernel_plans, hetero_from_numpy, rel_key,
+    )
+    from egc_tpu.nn.conv.hetero import REGConv
+    import egc_tpu.ops.pallas.headmix as hmod
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("EGC_TPU_HEADMIX_MIN_ROWS", "0")
+
+    nodes = {"p": rng.normal(size=(40, 8)).astype(np.float32)}
+    k1, k2 = rel_key("p", "a", "p"), rel_key("p", "b", "p")
+    edges = {k1: (rng.integers(0, 40, 60).astype(np.int32),
+                  rng.integers(0, 40, 60).astype(np.int32)),
+             k2: (rng.integers(0, 40, 60).astype(np.int32),
+                  rng.integers(0, 40, 60).astype(np.int32))}
+    geom = dict(fwd_block_rows=128, fwd_window_rows=256,
+                bwd_block_rows=256, bwd_window_rows=128)
+    hg = attach_hetero_kernel_plans(hetero_from_numpy(nodes, edges), **geom)
+    hg = hg.replace(kernel_plans={k1: hg.kernel_plans[k1]})  # partial
+    hg = jax.tree.map(jnp.asarray, hg)
+
+    called = []
+    monkeypatch.setattr(
+        hmod, "head_mix_fused",
+        lambda *a, **k: called.append(1) or (_ for _ in ()).throw(
+            AssertionError("fused head mix engaged with partial plans")))
+    # gather_reduce would also need interpret patching if it engaged; the
+    # XLA mix path must trace without it for the planless relation
+    import egc_tpu.ops.pallas.gather_reduce as gr
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gr.pl, "pallas_call", patched)
+    conv = REGConv(8, num_heads=2, num_bases=2)
+    x_dict = {t: hg.nodes[t] for t in hg.node_types}
+    params = conv.init(jax.random.key(0), hg, x_dict)["params"]
+    conv.apply({"params": params}, hg, x_dict)
+    assert not called
+
+
+def test_headmix_rejects_non_f32():
+    with pytest.raises(TypeError, match="float32-only"):
+        hm.head_mix_fused(jnp.zeros((8, 16), jnp.bfloat16),
+                          (jnp.zeros((8, 8), jnp.bfloat16),),
+                          H=4, B=4, A=1, L=2)
+
+
+def test_headmix_vmem_overflow_falls_back_to_xla():
+    """A shape whose R=128 blocks exceed the VMEM budget returns 0 from the
+    block model and head_mix_fused silently takes the XLA formulation."""
+    H, B, A, L = 64, 64, 4, 128    # W = 16384 cols — far past the budget
+    assert hm.headmix_block_rows(H, B, A, L) == 0
+    n = 4
+    rng = np.random.default_rng(0)
+    w2d = jnp.asarray(rng.normal(size=(n, H * B * A)).astype(np.float32))
+    ys = tuple(jnp.asarray(rng.normal(size=(n, B * L)).astype(np.float32))
+               for _ in range(A))
+    got = hm.head_mix_fused(w2d, ys, H=H, B=B, A=A, L=L)
+    ref = xla_head_mix(w2d, ys, n, H, B, A, L)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_egc_layer_same_output_either_headmix_path(monkeypatch):
     """EGC layer output identical whether the dispatch gate picks the fused
     head mix (TPU + plan + min-rows) or the XLA path."""

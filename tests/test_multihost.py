@@ -2,9 +2,10 @@
 
 Runs scripts/multihost_smoke.py as a subprocess fleet: two OS processes x
 4 virtual CPU devices wired by ``jax.distributed.initialize`` (Gloo), one
-global-mesh psum plus one DP train step with per-process shards. The DP
-loss must equal the single-process 8-device dryrun's (same seeds) — the
-cross-process collective path changes nothing numerically.
+global-mesh psum plus one DP train step AND one graph-partitioned train
+step (halo all_to_all) with per-process shards. Both losses must equal
+the single-process 8-device run's (same seeds) — the cross-process
+collective path changes nothing numerically.
 """
 
 import json
@@ -39,3 +40,6 @@ def test_multihost_smoke_two_processes():
     assert out["ok"] is True
     assert out["psum"] == 8.0
     assert abs(out["loss"] - ref["loss"]) < 1e-6, (out, ref)
+    # graph-partitioned step (halo all_to_all over Gloo) reproduces the
+    # single-process mesh numerics too (VERDICT r4 item 7)
+    assert abs(out["ploss"] - ref["ploss"]) < 1e-6, (out, ref)

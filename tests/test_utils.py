@@ -71,3 +71,24 @@ def test_cli_rejects_unsupported_combo(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert code.returncode != 0
     assert "not supported" in code.stderr + code.stdout
+
+
+def test_parity_from_real_dryrun(tmp_path):
+    """The one-command real-data parity runner works end to end on
+    fabricated artifacts (VERDICT r4 item 9): fabricates an on-disk
+    dataset + a reference-format checkpoint, restores through the
+    --pretrained path, evaluates, and emits the diff table."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    code = subprocess.run(
+        ["bash", "scripts/parity_from_real.sh", str(tmp_path / "root"),
+         "--fabricate", "--rows", "arxiv:egc_m"],
+        capture_output=True, text=True, timeout=560, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert code.returncode == 0, code.stdout[-1500:] + code.stderr[-1500:]
+    rows = [json.loads(ln) for ln in code.stdout.splitlines()
+            if ln.startswith("{")]
+    summary = rows[-1]
+    assert summary["evaluated"] == 1 and summary["failed"] == 0, rows
+    assert rows[0]["status"] == "ok(pipeline)", rows
