@@ -277,12 +277,18 @@ def build_rules(dataset: str, model_kind: str, variables: Dict[str, Any], *,
     conv_idx = _module_indices(params, cls)
     num_layers = len(conv_idx)
 
+    # cifar's per-layer ModuleList leads with a (param-free) Dropout, so
+    # its conv/BN sit at indices 1/2; zinc/hiv/code use [conv, BN, act] at
+    # 0/1 (reference cifar/models.py:38-45 vs zinc/models.py:35-44 — found
+    # by executing the reference nets, tests/test_reference_exec.py).
+    conv_slot = 1 if dataset == "cifar" else 0
+
     def conv_prefix(i: int) -> str:
-        return (f"graph_layers.{i}.0." if family == "batched"
+        return (f"graph_layers.{i}.{conv_slot}." if family == "batched"
                 else f"convs.{i}.")
 
     def bn_prefix(i: int) -> str:
-        return (f"graph_layers.{i}.1." if family == "batched"
+        return (f"graph_layers.{i}.{conv_slot + 1}." if family == "batched"
                 else f"bns.{i}.")
 
     for i in conv_idx:

@@ -103,16 +103,72 @@ def main():
         print(f"{tag}: epoch {dt:.2f}s ({dt/timed*1e3:.1f} ms/batch, "
               f"{timed} timed batches) loss={float(loss):.3f}", flush=True)
 
+    def run_device_epoch(tag):
+        """Fully on-device sampling (device_sampling; VERDICT r4 item 6):
+        the host contributes only the shuffled seed id stream."""
+        from egc_tpu.data.device_sampling import (
+            DeviceNeighborSampler, DeviceSampledLoader,
+        )
+
+        dsamp = DeviceNeighborSampler(raw["senders"], raw["receivers"], n,
+                                      fanouts=(15, 10))
+        loader = DeviceSampledLoader(dsamp, raw["y"], seeds,
+                                     batch_size=1024, rng_seed=1)
+        it = iter(loader)
+        g0, y0, m0, gid0 = next(it)
+        g0x = g0.replace(nodes=jnp.take(x_full, jnp.minimum(gid0, n - 1),
+                                        axis=0))
+        variables = jax.jit(net.init, static_argnames=("train",))(
+            jax.random.key(0), g0x, train=False)
+        state = TrainState.create(params=variables["params"],
+                                  batch_stats=variables["batch_stats"],
+                                  tx=make_optimizer(1e-2, 0.0))
+
+        @jax.jit
+        def step(state, g, gids, y, m, rng):
+            g = g.replace(nodes=jnp.take(x_full,
+                                         jnp.minimum(gids, n - 1), axis=0))
+
+            def loss_fn(params, bs):
+                out, mut = net.apply(
+                    {"params": params, "batch_stats": bs}, g, train=True,
+                    rngs={"dropout": rng}, mutable=["batch_stats"])
+                nll = -jnp.sum(out * jax.nn.one_hot(y, 40), axis=1)
+                mm = m.astype(out.dtype)
+                return jnp.sum(nll * mm) / jnp.maximum(jnp.sum(mm), 1.0), \
+                    mut["batch_stats"]
+
+            (loss, bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats)
+            return state.apply_gradients(grads, new_batch_stats=bs), loss
+
+        t0 = time.time()
+        nb = 0
+        for ep_batch in loader:
+            g, y, m, gids = ep_batch
+            state, loss = step(state, g, gids, y, m, jax.random.key(nb))
+            if nb == 0:
+                jax.block_until_ready(state)
+                t0 = time.time()   # exclude sample+step compile
+            nb += 1
+        jax.block_until_ready(state)
+        dt = time.time() - t0
+        timed = max(nb - 1, 1)
+        print(f"{tag}: epoch {dt:.2f}s ({dt/timed*1e3:.1f} ms/batch, "
+              f"{timed} timed batches) loss={float(loss):.3f}", flush=True)
+
     import sys
     if "quick" in sys.argv:
         run_epoch(False, 0, "XLA devgather sync   ")
         run_epoch(False, 4, "XLA devgather pre4   ")
+        run_device_epoch("device sampler       ")
     else:
         run_epoch(False, 0, "XLA host-gather sync ", dev_gather=False)
         run_epoch(False, 0, "XLA devgather sync   ")
         run_epoch(False, 4, "XLA devgather pre4   ")
         run_epoch(True, 0, "plans devgather sync ")
         run_epoch(True, 4, "plans devgather pre4 ")
+        run_device_epoch("device sampler       ")
 
 
 if __name__ == "__main__":

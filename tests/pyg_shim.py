@@ -303,6 +303,38 @@ class MessagePassing(torch.nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# graph-level pooling + conv stubs (for net-level module imports)
+# ---------------------------------------------------------------------------
+
+def global_add_pool(x, batch, size=None):
+    if size is None:
+        size = int(batch.max().item()) + 1 if batch.numel() else 0
+    return scatter(x, batch, 0, None, size, reduce="sum")
+
+
+def global_mean_pool(x, batch, size=None):
+    if size is None:
+        size = int(batch.max().item()) + 1 if batch.numel() else 0
+    return scatter(x, batch, 0, None, size, reduce="mean")
+
+
+def global_max_pool(x, batch, size=None):
+    if size is None:
+        size = int(batch.max().item()) + 1 if batch.numel() else 0
+    return scatter(x, batch, 0, None, size, reduce="max")
+
+
+def _stub_conv(name):
+    """Importable placeholder for PyG convs the reference's net modules
+    import at top level; net classes under test never construct them."""
+    def init(self, *a, **k):
+        raise NotImplementedError(
+            f"{name} is a pyg_shim import stub — only reference-authored "
+            "layers execute under the shim")
+    return type(name, (torch.nn.Module,), {"__init__": init})
+
+
+# ---------------------------------------------------------------------------
 # module installation + reference loading
 # ---------------------------------------------------------------------------
 
@@ -326,7 +358,13 @@ def install():
     tsp.diag = _mod("torch_sparse.diag", fill_diag=fill_diag)
 
     tg = _mod("torch_geometric")
-    tg.nn = _mod("torch_geometric.nn", MessagePassing=MessagePassing)
+    tg.nn = _mod("torch_geometric.nn", MessagePassing=MessagePassing,
+                 global_add_pool=global_add_pool,
+                 global_mean_pool=global_mean_pool,
+                 global_max_pool=global_max_pool,
+                 **{n: _stub_conv(n) for n in
+                    ("GCNConv", "GATConv", "GATv2Conv", "GINConv",
+                     "PNAConv", "SAGEConv")})
     tg.nn.conv = _mod("torch_geometric.nn.conv",
                       MessagePassing=MessagePassing)
     tg.nn.conv.gcn_conv = _mod("torch_geometric.nn.conv.gcn_conv",
@@ -350,3 +388,23 @@ def load_reference(relpath, name=None):
     sys.modules[name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def import_reference_module(dotted):
+    """Import ``experiments.*`` as a namespace package rooted at the
+    reference tree (net modules use package-absolute imports like
+    ``from experiments.layers import ...``)."""
+    install()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    return importlib.import_module(dotted)
+
+
+class FakeBatch:
+    """Stand-in for a PyG Batch: just the attributes the nets read."""
+
+    def __init__(self, x, edge_index, batch, pos=None):
+        self.x = x
+        self.edge_index = edge_index
+        self.batch = batch
+        self.pos = pos

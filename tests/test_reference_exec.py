@@ -287,6 +287,164 @@ def test_mpnn_exec(ref_layers, rng, aggr):
 
 
 # ---------------------------------------------------------------------------
+# NET-level: the actual reference model classes (zinc/cifar/arxiv) execute
+# under the shim (namespace-package import of experiments.*) and gate the
+# full wiring — embedding, conv stack, BN placement, residual order,
+# masked pooling, MLP heads — through the SAME weight_port model rules the
+# checkpoint importer uses.
+# ---------------------------------------------------------------------------
+
+def batched_inputs(rng, n_graphs=3, feat_kind="zinc", hid=24):
+    """Host graphs + torch batch + my padded batched Graph."""
+    from egc_tpu.graph.structure import batch_np
+
+    graphs, xs, eis, bvec, off = [], [], [], [], 0
+    for gi in range(n_graphs):
+        n = int(rng.integers(8, 14))
+        s, r = rand_graph(rng, n, 3 * n, with_loops=False)
+        if feat_kind == "zinc":
+            # distinct atom types per graph: duplicate types give
+            # IDENTICAL embedded rows, whose max-aggregation ties route
+            # gradients differently per backend (see rand_graph docstring)
+            x = rng.permutation(28)[:n].reshape(n, 1).astype(np.int64)
+        else:
+            x = rng.normal(size=(n, 5)).astype(np.float32)
+        graphs.append(dict(nodes=x, senders=s.astype(np.int32),
+                           receivers=r.astype(np.int32)))
+        xs.append(x)
+        eis.append(np.stack([s, r]) + off)
+        bvec.append(np.full(n, gi))
+        off += n
+    g, _ = batch_np(graphs, num_nodes=off + 8, num_edges=256,
+                    num_graphs=n_graphs + 1)
+    g = jax.tree.map(jnp.asarray, g)
+    tb = pyg_shim.FakeBatch(
+        torch.tensor(np.concatenate(xs)),
+        torch.tensor(np.concatenate(eis, axis=1)),
+        torch.tensor(np.concatenate(bvec)))
+    return g, tb
+
+
+def net_forward_check(ref_out, model, variables, g, n_valid, cot_shape,
+                      rng, rules, tnet):
+    cot = rng.normal(size=ref_out.shape).astype(np.float32)
+    (ref_out * torch.tensor(cot)).sum().backward()
+
+    def loss(params):
+        out = model.apply(
+            {"params": params,
+             "batch_stats": variables.get("batch_stats", {})},
+            g, train=False)
+        return jnp.sum(out[:n_valid] * jnp.asarray(cot)), out
+
+    (_, out_j), gp = jax.value_and_grad(loss, has_aux=True)(
+        variables["params"])
+    np.testing.assert_allclose(np.asarray(out_j)[:n_valid],
+                               ref_out.detach().numpy(), **FWD)
+    tgrads = {k: p.grad.detach().numpy()
+              for k, p in tnet.named_parameters() if p.grad is not None}
+    tree = {"params": jax.tree.map(np.asarray, gp)}
+    for path, fn in rules.imports:
+        if path[0] != "params":
+            continue          # BN running stats carry no grads
+        try:
+            want = np.asarray(fn(tgrads))
+        except (KeyError, wp.PortError):
+            continue          # frozen leaves (BN stats) have no grads
+        got = np.asarray(wp._get_path(tree, path))
+        np.testing.assert_allclose(got, want, err_msg="/".join(path), **BWD)
+
+
+def test_zinc_net_exec(rng):
+    zinc_models = pyg_shim.import_reference_module("experiments.zinc.models")
+    g, tb = batched_inputs(rng, feat_kind="zinc")
+    hid, aggrs = 24, ("add", "std", "max")
+
+    torch.manual_seed(23)
+    tnet = zinc_models.EgcZincNet(
+        hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
+        residual=True, heads=4, bases=4, aggrs=list(aggrs))
+    tnet.eval()
+    out_t = tnet(tb)
+
+    from egc_tpu.models.nets import ConvSpec, ZincNet
+    model = ZincNet(conv=ConvSpec(kind="egc", heads=4, bases=4,
+                                  aggrs=aggrs),
+                    hidden_dim=hid, num_layers=2, residual=True)
+    variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
+    rules = wp.build_rules("zinc", "egc", variables, heads=4, bases=4,
+                           aggrs=aggrs)
+    variables = apply_import_rules(rules, torch_sd(tnet), variables)
+    net_forward_check(out_t, model, variables, g, 3, out_t.shape, rng,
+                      rules, tnet)
+
+
+def test_cifar_net_exec(rng):
+    cifar_models = pyg_shim.import_reference_module(
+        "experiments.cifar.models")
+    g, tb = batched_inputs(rng, feat_kind="cifar")
+    hid, aggrs = 24, ("symadd", "std", "max")
+
+    torch.manual_seed(29)
+    tnet = cifar_models.EgcCifarNet(
+        hidden_dim=hid, num_graph_layers=2, dropout=0.0,
+        residual=True, heads=4, bases=4, aggrs=list(aggrs))
+    tnet.eval()
+    out_t = tnet(tb)
+
+    from egc_tpu.models.nets import ConvSpec, CifarNet
+    model = CifarNet(conv=ConvSpec(kind="egc", heads=4, bases=4,
+                                   aggrs=aggrs),
+                     hidden_dim=hid, num_layers=2, residual=True)
+    variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
+    rules = wp.build_rules("cifar", "egc", variables, heads=4, bases=4,
+                           aggrs=aggrs)
+    variables = apply_import_rules(rules, torch_sd(tnet), variables)
+    net_forward_check(out_t, model, variables, g, 3, out_t.shape, rng,
+                      rules, tnet)
+
+
+@pytest.mark.parametrize("kind", ["egc", "mpnn-max"])
+def test_arxiv_net_exec(rng, kind):
+    norm_models = pyg_shim.import_reference_module(
+        "experiments.arxiv.norm_models")
+    n, hid = 40, 24
+    s, r = rand_graph(rng, n, 120, with_loops=False)
+    x = rng.normal(size=(n, 128)).astype(np.float32)
+
+    torch.manual_seed(31)
+    if kind == "egc":
+        aggrs = ("symadd", "max", "mean")
+        tnet = norm_models.EgcArxivNet(
+            hidden_dim=hid, num_graph_layers=2, dropout=0.0,
+            residual=True, heads=4, bases=4, softmax=False,
+            aggrs=list(aggrs))
+        spec = dict(heads=4, bases=4, aggrs=aggrs)
+        from egc_tpu.models.nets import ConvSpec
+        conv = ConvSpec(kind="egc", heads=4, bases=4, aggrs=aggrs)
+    else:
+        tnet = norm_models.MpnnArxivNet(
+            hidden_dim=hid, num_graph_layers=2, dropout=0.0,
+            residual=True, aggr="max")
+        spec = {}
+        from egc_tpu.models.nets import ConvSpec
+        conv = ConvSpec(kind="mpnn-max")
+    tnet.eval()
+    out_t = tnet(torch.tensor(x), torch.tensor(np.stack([s, r])))
+
+    from egc_tpu.models.nets import ArxivNet
+    model = ArxivNet(conv=conv, hidden_dim=hid, num_layers=2, dropout=0.0,
+                     residual=True, num_features=128, num_classes=40)
+    g = Graph.from_coo(jnp.asarray(x), s.astype(np.int32),
+                       r.astype(np.int32))
+    variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
+    rules = wp.build_rules("arxiv", kind, variables, **spec)
+    variables = apply_import_rules(rules, torch_sd(tnet), variables)
+    net_forward_check(out_t, model, variables, g, n, out_t.shape, rng,
+                      rules, tnet)
+
+
+# ---------------------------------------------------------------------------
 # hetero RGCNConv / REGConv (experiments/rmag/models.py:30-148)
 # ---------------------------------------------------------------------------
 
