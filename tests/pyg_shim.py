@@ -324,6 +324,30 @@ def global_max_pool(x, batch, size=None):
     return scatter(x, batch, 0, None, size, reduce="max")
 
 
+# OGB mol AtomEncoder (public contract: per-feature Embedding sum over the
+# 9 categorical atom features, xavier-uniform init; dims =
+# ogb.utils.features.get_atom_feature_dims()). Not reference-authored, but
+# needed importable+runnable for the reference's HIV nets; the net wiring
+# under test is the reference's.
+ATOM_FEATURE_DIMS = (119, 4, 12, 12, 10, 6, 6, 2, 2)
+
+
+class AtomEncoder(torch.nn.Module):
+    def __init__(self, emb_dim):
+        super().__init__()
+        self.atom_embedding_list = torch.nn.ModuleList()
+        for d in ATOM_FEATURE_DIMS:
+            emb = torch.nn.Embedding(d, emb_dim)
+            torch.nn.init.xavier_uniform_(emb.weight.data)
+            self.atom_embedding_list.append(emb)
+
+    def forward(self, x):
+        out = 0
+        for i, emb in enumerate(self.atom_embedding_list):
+            out = out + emb(x[:, i])
+        return out
+
+
 def _stub_conv(name):
     """Importable placeholder for PyG convs the reference's net modules
     import at top level; net classes under test never construct them."""
@@ -374,6 +398,16 @@ def install():
     tg.typing = _mod("torch_geometric.typing", Adj=object, OptTensor=object)
     tg.utils = _mod("torch_geometric.utils",
                     add_remaining_self_loops=add_remaining_self_loops)
+    # import-only stubs for data-pipeline modules the reference's code2
+    # utils import at top level (the functions under test never touch them)
+    tg.transforms = _mod("torch_geometric.transforms")
+    tg.data = _mod("torch_geometric.data", DataLoader=object, Data=object)
+    ogb = _mod("ogb")
+    ogb.graphproppred = _mod("ogb.graphproppred",
+                             PygGraphPropPredDataset=object,
+                             Evaluator=object)
+    ogb.graphproppred.mol_encoder = _mod("ogb.graphproppred.mol_encoder",
+                                         AtomEncoder=AtomEncoder)
 
 
 def load_reference(relpath, name=None):

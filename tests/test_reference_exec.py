@@ -445,6 +445,166 @@ def test_arxiv_net_exec(rng, kind):
 
 
 # ---------------------------------------------------------------------------
+# code2 pipeline: the reference's vocab/augment/encode/decode functions
+# (experiments/code/utils.py, "borrowed from the OGB repo") execute and
+# gate data/ondisk's numpy counterparts; EgcCodeNet gates CodeNet wiring
+# (ASTNodeEncoder depth clamp, fused 5-head token predictor).
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_code_utils():
+    return pyg_shim.import_reference_module("experiments.code.utils")
+
+
+def test_code2_vocab_encode_decode_exec(ref_code_utils, rng):
+    from egc_tpu.data.ondisk import build_vocab, decode_arr, encode_seq
+
+    words = [f"w{i}" for i in range(40)]
+    seqs = [[words[rng.integers(0, 40)] for _ in range(rng.integers(1, 7))]
+            for _ in range(60)]
+    v2i_t, i2v_t = ref_code_utils.get_vocab_mapping(seqs, 25)
+    v2i_j, i2v_j = build_vocab(seqs, 25)
+    assert v2i_t == v2i_j and list(i2v_t) == list(i2v_j)
+
+    for seq in seqs[:10]:
+        enc_t = ref_code_utils.encode_seq_to_arr(seq, v2i_t, 5).numpy()[0]
+        enc_j = encode_seq(seq, v2i_j, 5)
+        np.testing.assert_array_equal(enc_j, enc_t, err_msg=str(seq))
+        dec_t = ref_code_utils.decode_arr_to_seq(torch.tensor(enc_t), i2v_t)
+        assert decode_arr(enc_j, i2v_j) == dec_t
+
+
+def test_code2_augment_edge_exec(ref_code_utils, rng):
+    from egc_tpu.data.ondisk import augment_ast_edges_np
+
+    n = 25
+    s, r = rand_graph(rng, n, 40, with_loops=False)
+    is_att = rng.integers(0, 2, n)
+
+    class Data:
+        pass
+
+    d = Data()
+    d.edge_index = torch.tensor(np.stack([s, r]))
+    d.node_is_attributed = torch.tensor(is_att.reshape(-1, 1))
+    out = ref_code_utils.augment_edge(d)
+    ei_t = out.edge_index.numpy()
+    s_j, r_j = augment_ast_edges_np(s.astype(np.int32),
+                                    r.astype(np.int32), is_att)
+    # same concatenation order: ast, inverse-ast, next-token, inverse
+    np.testing.assert_array_equal(s_j, ei_t[0])
+    np.testing.assert_array_equal(r_j, ei_t[1])
+
+
+@pytest.mark.parametrize("kind,aggrs", [
+    ("egc", ("add", "mean", "max")),     # hiv EGC-M row
+    ("mpnn-max", None),
+])
+def test_hiv_net_exec(rng, kind, aggrs):
+    mol_models = pyg_shim.import_reference_module(
+        "experiments.mol.pna_style_models")
+    from egc_tpu.graph.structure import batch_np
+    from egc_tpu.models.encoders import ATOM_FEATURE_DIMS
+
+    hid = 24
+    graphs, xs, eis, bvec, off = [], [], [], [], 0
+    for gi in range(3):
+        n = int(rng.integers(8, 14))
+        s, r = rand_graph(rng, n, 3 * n, with_loops=False)
+        # distinct feature ROWS per graph (ties, see rand_graph): make the
+        # first (119-ary) feature distinct per node
+        x = np.stack([rng.permutation(119)[:n]] +
+                     [rng.integers(0, d, n)
+                      for d in ATOM_FEATURE_DIMS[1:]], axis=1)
+        graphs.append(dict(nodes=x.astype(np.int32),
+                           senders=s.astype(np.int32),
+                           receivers=r.astype(np.int32)))
+        xs.append(x)
+        eis.append(np.stack([s, r]) + off)
+        bvec.append(np.full(n, gi))
+        off += n
+    g, _ = batch_np(graphs, num_nodes=off + 8, num_edges=256, num_graphs=4)
+    g = jax.tree.map(jnp.asarray, g)
+
+    torch.manual_seed(41)
+    if kind == "egc":
+        tnet = mol_models.EgcHIVNet(
+            hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
+            residual=True, heads=4, bases=4, aggrs=list(aggrs))
+        spec = dict(heads=4, bases=4, aggrs=aggrs)
+    else:
+        tnet = mol_models.MpnnHIVNet(
+            hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
+            residual=True, aggr="max")
+        spec = {}
+    tnet.eval()
+    tb = pyg_shim.FakeBatch(torch.tensor(np.concatenate(xs)),
+                            torch.tensor(np.concatenate(eis, axis=1)),
+                            torch.tensor(np.concatenate(bvec)))
+    out_t = tnet(tb)
+
+    from egc_tpu.models.nets import ConvSpec, HIVNet
+    conv = (ConvSpec(kind="egc", heads=4, bases=4, aggrs=aggrs)
+            if kind == "egc" else ConvSpec(kind=kind))
+    model = HIVNet(conv=conv, hidden_dim=hid, num_layers=2, residual=True)
+    variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
+    rules = wp.build_rules("hiv", kind, variables, **spec)
+    variables = apply_import_rules(rules, torch_sd(tnet), variables)
+    net_forward_check(out_t, model, variables, g, 3, out_t.shape, rng,
+                      rules, tnet)
+
+
+def test_code_net_exec(rng):
+    code_models = pyg_shim.import_reference_module("experiments.code.models")
+    from egc_tpu.graph.structure import batch_np
+
+    hid, aggrs, vocab = 24, ("symadd", "min", "max"), 50
+    graphs, xs, eis, depths, bvec, off = [], [], [], [], [], 0
+    for gi in range(3):
+        n = int(rng.integers(8, 14))
+        s, r = rand_graph(rng, n, 3 * n, with_loops=False)
+        t = rng.permutation(98)[:n]          # distinct types: avoid ties
+        a = rng.permutation(200)[:n]
+        dep = rng.integers(0, 25, n)         # exercises >max_depth clamp
+        graphs.append(dict(
+            nodes=np.stack([t, a, dep], 1).astype(np.int32),
+            senders=s.astype(np.int32), receivers=r.astype(np.int32)))
+        xs.append(np.stack([t, a], 1))
+        depths.append(dep)
+        eis.append(np.stack([s, r]) + off)
+        bvec.append(np.full(n, gi))
+        off += n
+    g, _ = batch_np(graphs, num_nodes=off + 8, num_edges=256, num_graphs=4)
+    g = jax.tree.map(jnp.asarray, g)
+
+    torch.manual_seed(37)
+    tnet = code_models.EgcCodeNet(
+        hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
+        residual=True, vocab_size=vocab, heads=4, bases=4,
+        aggrs=list(aggrs))
+    tnet.eval()
+    tb = pyg_shim.FakeBatch(torch.tensor(np.concatenate(xs)),
+                            torch.tensor(np.concatenate(eis, axis=1)),
+                            torch.tensor(np.concatenate(bvec)))
+    tb.node_depth = torch.tensor(np.concatenate(depths).reshape(-1, 1))
+    out_t = torch.stack(tnet(tb), dim=1)      # [G, seq, vocab+2]
+
+    from egc_tpu.models.nets import ConvSpec, CodeNet
+    model = CodeNet(conv=ConvSpec(kind="egc", heads=4, bases=4,
+                                  aggrs=aggrs),
+                    hidden_dim=hid, num_layers=2, residual=True,
+                    vocab_size=vocab, num_nodeattributes=10030,
+                    max_depth=20)
+    variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
+    rules = wp.build_rules("code", "egc", variables, heads=4, bases=4,
+                           aggrs=aggrs)
+    variables = apply_import_rules(rules, torch_sd(tnet), variables)
+    out_j = model.apply(variables, g, train=False)
+    np.testing.assert_allclose(np.asarray(out_j)[:3],
+                               out_t.detach().numpy(), **FWD)
+
+
+# ---------------------------------------------------------------------------
 # hetero RGCNConv / REGConv (experiments/rmag/models.py:30-148)
 # ---------------------------------------------------------------------------
 
