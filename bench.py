@@ -96,7 +96,7 @@ def run_config(raw, d, *, metric, kind, hidden, aggrs=None, heads=4,
             else ConvSpec(kind=kind, heads=heads))
     net = ArxivNet(conv=conv, hidden_dim=hidden, num_layers=num_layers,
                    dropout=0.0, residual=True, num_features=128,
-                   num_classes=40)
+                   num_classes=40, log_probs=False)
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.key(0), d["graph"], train=False)
     state = TrainState.create(params=variables["params"],
@@ -109,8 +109,8 @@ def run_config(raw, d, *, metric, kind, hidden, aggrs=None, heads=4,
         out, mutated = net.apply(
             {"params": params, "batch_stats": batch_stats}, graph,
             train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
-        from egc_tpu.train.losses import gather_label_scores
-        nll = -gather_label_scores(out, y)
+        from egc_tpu.train.losses import nll_scores
+        nll = nll_scores(out, y, log_probs=False)
         m = tmask.astype(out.dtype)
         return jnp.sum(nll * m) / jnp.sum(m), mutated["batch_stats"]
 

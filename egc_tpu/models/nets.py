@@ -206,6 +206,9 @@ class ArxivNet(nn.Module):
     # recompute for activation memory; needed for wide EGC-M at arxiv scale)
     num_features: int = 128           # reference arxiv/norm_models.py:10
     num_classes: int = 40
+    log_probs: bool = True            # False -> raw logits (training can
+    # then use the fused logsumexp NLL, train/losses.nll_scores, skipping
+    # a [N, C] log-prob materialization; eval argmax is invariant)
 
     @nn.compact
     def __call__(self, g: Graph, *, train: bool):
@@ -226,7 +229,7 @@ class ArxivNet(nn.Module):
             if self.residual:
                 x = x + identity
         x = _torch_dense(self.num_classes, self.hidden_dim, name="out")(x)
-        return nn.log_softmax(x, axis=-1)
+        return nn.log_softmax(x, axis=-1) if self.log_probs else x
 
 
 class CodeNet(nn.Module):
@@ -290,6 +293,7 @@ class MagNet(nn.Module):
     remat: bool = False
     out_rounded: int = 352
     out_true: int = 349
+    log_probs: bool = True            # see ArxivNet.log_probs
 
     @nn.compact
     def __call__(self, g: Graph, *, train: bool):
@@ -309,7 +313,7 @@ class MagNet(nn.Module):
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)
         x = x[:, :self.out_true]
-        return nn.log_softmax(x, axis=-1)
+        return nn.log_softmax(x, axis=-1) if self.log_probs else x
 
 
 def make_conv(kind: str, **kwargs) -> ConvSpec:

@@ -107,12 +107,20 @@ class REGConv(nn.Module):
                                              for k in hg.relations)
 
         def mix(w2d, y2d, n, K):
-            """z[n, h*L+l] = sum_k w2d[n, h*K+k] * y2d[n, k*L+l] -> [n, HL]."""
+            """z[n, h*L+l] = sum_k w2d[n, h*K+k] * y2d[n, k*L+l] -> [n, HL].
+
+            The einsum fallback runs at HIGHEST precision: on TPU the
+            default lowering multiplies in bf16 on the MXU, which made the
+            fallback diverge from the (true-f32) fused kernel by ~4% grad
+            L2 at mag-hetero scale — the round-5 hetero check regression;
+            the KERNEL was the accurate side (tpu_hetero_check.py)."""
             if (_jax.default_backend() == "tpu" and headmix_enabled()
                     and plans_complete and n >= headmix_min_rows()):
                 return head_mix_fused(w2d, (y2d,), H=H, B=K, A=1, L=L)
             return jnp.einsum("nhk,nkl->nhl", w2d.reshape(n, H, K),
-                              y2d.reshape(n, K, L)).reshape(n, H * L)
+                              y2d.reshape(n, K, L),
+                              precision=_jax.lax.Precision.HIGHEST
+                              ).reshape(n, H * L)
 
         # shared bases across ALL node types (one Dense reused per type)
         bases_dense = nn.Dense(B * L, use_bias=False,

@@ -22,3 +22,20 @@ def gather_label_scores(out: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     onehot = labels[:, None].astype(jnp.int32) == jnp.arange(
         classes, dtype=jnp.int32)
     return jnp.sum(jnp.where(onehot, out, 0), axis=-1)
+
+
+def nll_scores(out: jnp.ndarray, labels: jnp.ndarray, *,
+               log_probs: bool = True) -> jnp.ndarray:
+    """Per-row NLL from model scores.
+
+    ``log_probs=True``: scores are log-probabilities, nll = -score[y].
+    ``log_probs=False``: scores are raw logits, nll = lse(out) - out[y] —
+    mathematically identical but skips materializing the [N, C] log-prob
+    array and its cotangent (profiled ~8 ms/step at ogbn-mag scale; pair
+    with ``ArxivNet/MagNet(log_probs=False)``)."""
+    s = gather_label_scores(out, labels)
+    if log_probs:
+        return -s
+    import jax
+
+    return jax.scipy.special.logsumexp(out, axis=-1) - s

@@ -79,6 +79,15 @@ def main():
         print(f"{tag} fused step: {t_fused*1e3:.1f} ms "
               f"({e/t_fused/1e6:.2f} M edges/s)", flush=True)
 
+        if "profile" in want:
+            # per-op accounting (VERDICT r4 item 4: GAT v1 step vs
+            # kernel-level probe gap)
+            from egc_tpu.utils.profiling import print_op_table
+            with jax.profiler.trace("/tmp/gattrace"):
+                s2, _ = step_fused(state, rng)
+                jax.block_until_ready(s2)
+            print_op_table("/tmp/gattrace")
+
         g_xla = g.replace(kernel_plan=None)
         step_xla = make_step(g_xla)
         try:

@@ -62,7 +62,7 @@ def main():
           flush=True)
 
     net = MagNet(hidden_dim=352, num_layers=2, dropout=0.5, heads=8,
-                 bases=4, aggrs=("symnorm",))
+                 bases=4, aggrs=("symnorm",), log_probs=False)
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.key(0), g, train=False)
     jax.block_until_ready(variables)
@@ -81,8 +81,8 @@ def main():
             def loss_fn(params):
                 out = net.apply({"params": params}, graph, train=True,
                                 rngs={"dropout": rng})
-                nll = -jnp.sum(out * jax.nn.one_hot(y, out.shape[-1]),
-                               axis=1)
+                from egc_tpu.train.losses import nll_scores
+                nll = nll_scores(out, y, log_probs=False)
                 m = tmask.astype(out.dtype)
                 return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
 
