@@ -40,6 +40,18 @@ import jax.numpy as jnp
 from egc_tpu.graph.structure import Graph
 
 
+def as_graph(gids, s, r, em, nm, *, x_width: int = 0) -> Graph:
+    """Wrap sampler outputs as a Graph (jit-composable: plain pytree)."""
+    nb = nm.shape[0]
+    return Graph(
+        nodes=jnp.zeros((nb, x_width), jnp.float32),
+        senders=s, receivers=r,
+        node_mask=nm, edge_mask=em,
+        graph_ids=jnp.zeros((nb,), jnp.int32),
+        graph_mask=jnp.ones((1,), bool),
+    )
+
+
 def _floyd_subset(key, deg, k: int):
     """Per-row uniform without-replacement k-subset of [0, deg).
 
@@ -103,6 +115,13 @@ class DeviceNeighborSampler:
 
     @functools.lru_cache(maxsize=None)
     def _fn(self, batch_size: int, node_multiple: int = 8):
+        return jax.jit(self.raw(batch_size, node_multiple))
+
+    @functools.lru_cache(maxsize=None)
+    def raw(self, batch_size: int, node_multiple: int = 8):
+        """UNJITTED sample closure — compose it INSIDE a jitted train step
+        (one device call per batch; through a remote-tunnel chip the
+        per-call dispatch latency otherwise dominates the sample)."""
         N = self.num_nodes
         fanouts = self.fanouts
         node_budget, edge_budget = self.padded_budgets(batch_size,
@@ -174,7 +193,7 @@ class DeviceNeighborSampler:
                          n_cur) & (gids < N)
             return gids, s_all, r_all, m_all, node_mask, n_cur
 
-        return jax.jit(sample)
+        return sample
 
     def sample(self, key, seeds: jnp.ndarray):
         """One device-side sample. ``seeds``: [S] int32 (sentinel
@@ -187,15 +206,7 @@ class DeviceNeighborSampler:
         """Sample and wrap as a padded zero-width-feature Graph + gids,
         mirroring ``SampledNodeLoader(gather_on_device=True)`` items."""
         gids, s, r, em, nm, _ = self.sample(key, seeds)
-        nb = nm.shape[0]
-        g = Graph(
-            nodes=jnp.zeros((nb, x_width), jnp.float32),
-            senders=s, receivers=r,
-            node_mask=nm, edge_mask=em,
-            graph_ids=jnp.zeros((nb,), jnp.int32),
-            graph_mask=jnp.ones((1,), bool),
-        )
-        return g, gids
+        return as_graph(gids, s, r, em, nm, x_width=x_width), gids
 
 
 class DeviceSampledLoader:

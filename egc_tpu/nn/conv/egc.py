@@ -81,13 +81,31 @@ class EGConv(nn.Module):
             raise ValueError(f"unknown self_loop_mode {self.self_loop_mode!r}")
         n = x.shape[0]
 
+        import jax as _jax
+
+        from egc_tpu.ops.pallas.headmix import (
+            head_mix_fused, headmix_enabled, headmix_min_rows,
+        )
+
+        # Plan-gated like every fused kernel: plan-free graphs include the
+        # partitioned XLA steps that run under shard_map check_vma=True,
+        # where a Pallas call (no vma types) would not trace.
+        use_fused_mix = (
+            _jax.default_backend() == "tpu" and headmix_enabled()
+            and getattr(g, "kernel_plan", None) is not None
+            and n >= headmix_min_rows())
+
         # Bases ([in, B*L], glorot per basis) and per-node combination
         # weights ([in, H*B*A], torch Linear init parity) ride ONE fused
         # matmul over x: the two separate dot_generals each re-stream the
         # [n, in] activation through HBM (profiled ~36 ms/step at mag
         # h352, ~5x the bandwidth bound of a single pass); the zero-row
         # calls only materialize the params, keeping the checkpoint tree
-        # ({bases: kernel, comb: kernel+bias}) unchanged.
+        # ({bases: kernel, comb: kernel+bias}) unchanged. On the fused-mix
+        # path the bases columns are zero-padded IN THE KERNEL to the
+        # 128-lane width the aggregation sweeps run at, so no [n, B*L]
+        # pad/slice round trips materialize (profiled ~10 ms at mag h352;
+        # head_mix_fused consumes the padded width via y_width).
         fan_in = x.shape[-1]
         zero = x[:0]
         nn.Dense(B * L, use_bias=False,
@@ -98,10 +116,14 @@ class EGConv(nn.Module):
         wb = self.get_variable("params", "bases")["kernel"]
         wc = self.get_variable("params", "comb")["kernel"]
         bc = self.get_variable("params", "comb")["bias"]
+        bl = B * L
+        bl_pad = ((bl + 127) // 128) * 128 if use_fused_mix else bl
+        if bl_pad != bl:
+            wb = jnp.pad(wb, ((0, 0), (0, bl_pad - bl)))
         fused = x @ jnp.concatenate([wb.astype(x.dtype),
                                      wc.astype(x.dtype)], axis=1)
-        bases = fused[:, :B * L]
-        w = fused[:, B * L:] + bc
+        bases = fused[:, :bl_pad]
+        w = fused[:, bl_pad:] + bc
         if self.weighting == "softmax":
             # softmax across ALL bases*aggregators per head
             # (reference experiments/layers.py:112-120).
@@ -128,19 +150,9 @@ class EGConv(nn.Module):
         include_self = self.self_loop_mode == "all" and self.add_self_loops
         # conv_aggregate dispatches to the fused Pallas kernels on TPU when
         # the graph carries a kernel plan and B*L is lane-aligned.
-        import jax as _jax
-
         from egc_tpu.ops.dispatch import conv_aggregate
-        from egc_tpu.ops.pallas.headmix import (
-            head_mix_fused, headmix_enabled, headmix_min_rows,
-        )
 
-        # Plan-gated like every fused kernel: plan-free graphs include the
-        # partitioned XLA steps that run under shard_map check_vma=True,
-        # where a Pallas call (no vma types) would not trace.
-        if (_jax.default_backend() == "tpu" and headmix_enabled()
-                and getattr(g, "kernel_plan", None) is not None
-                and n >= headmix_min_rows()):
+        if use_fused_mix:
             # Fused head mix: consume the per-aggregator parts directly
             # (no [n, A, F] stack, no [n, H, A*B, L] intermediate) — see
             # ops/pallas/headmix.py for the measured XLA-lowering gap.
@@ -148,7 +160,8 @@ class EGConv(nn.Module):
                                 symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw,
                                 stacked=False)
             z = head_mix_fused(w.reshape(n, H * B * A), ys,
-                               H=H, B=B, A=A, L=L)
+                               H=H, B=B, A=A, L=L,
+                               y_width=ys[0].shape[1])
         else:
             y = conv_aggregate(g, bases, aggrs, include_self=include_self,
                                symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw)

@@ -60,12 +60,18 @@ def headmix_block_rows(H: int, B: int, A: int, L: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_headmix(n: int, H: int, B: int, A: int, L: int, R: int):
-    """custom_vjp head-mix for fixed shapes; n must be a multiple of R."""
+def _make_headmix(n: int, H: int, B: int, A: int, L: int, R: int,
+                  YW: int):
+    """custom_vjp head-mix for fixed shapes; n must be a multiple of R.
+
+    ``YW >= B*L``: per-aggregator input width — callers may pass ys at
+    the 128-lane-padded width the fused aggregation kernels produce
+    (tail columns ignored; dy tails written as zeros), eliminating the
+    [n, F] pad/slice round trips at mag scale (~10 ms/step profiled)."""
     O, F = H * L, B * L
     BA = B * A
     Lp = ((L + 7) // 8) * 8
-    assert n % R == 0
+    assert n % R == 0 and YW >= F
     nb = n // R
 
     def col(h, b, a):
@@ -113,6 +119,8 @@ def _make_headmix(n: int, H: int, B: int, A: int, L: int, R: int):
                     acc = t if acc is None else acc + t
                 slabs.append(acc)                     # [L, R]
             dyT = jnp.concatenate(slabs, axis=0)      # [F, R]
+            if YW != F:                               # zero the pad tail
+                dyT = jnp.pad(dyT, ((0, YW - F), (0, 0)))
             dy_refs[a][...] = jnp.swapaxes(dyT, 0, 1)
         # dw[:, col] = sum_l dz[:, h*L+l] * y[a][:, b*L+l]
         cols = []
@@ -132,7 +140,7 @@ def _make_headmix(n: int, H: int, B: int, A: int, L: int, R: int):
         return pl.pallas_call(
             fwd_kernel,
             grid=(nb,),
-            in_specs=[row_spec(H * BA)] + [row_spec(F)] * A,
+            in_specs=[row_spec(H * BA)] + [row_spec(YW)] * A,
             out_specs=row_spec(O),
             out_shape=jax.ShapeDtypeStruct((n, O), jnp.float32),
         )(w2d, *ys)
@@ -141,11 +149,11 @@ def _make_headmix(n: int, H: int, B: int, A: int, L: int, R: int):
         return pl.pallas_call(
             bwd_kernel,
             grid=(nb,),
-            in_specs=[row_spec(H * BA)] + [row_spec(F)] * A +
+            in_specs=[row_spec(H * BA)] + [row_spec(YW)] * A +
                      [row_spec(O)],
-            out_specs=[row_spec(H * BA)] + [row_spec(F)] * A,
+            out_specs=[row_spec(H * BA)] + [row_spec(YW)] * A,
             out_shape=[jax.ShapeDtypeStruct((n, H * BA), jnp.float32)] +
-                      [jax.ShapeDtypeStruct((n, F), jnp.float32)] * A,
+                      [jax.ShapeDtypeStruct((n, YW), jnp.float32)] * A,
         )(w2d, *ys, dz)
 
     @jax.custom_vjp
@@ -174,17 +182,23 @@ def _head_mix_xla(w2d, ys, H, B, A, L):
 
 
 def head_mix_fused(w2d: jnp.ndarray, ys, *, H: int, B: int, A: int,
-                   L: int) -> jnp.ndarray:
+                   L: int, y_width: int = 0) -> jnp.ndarray:
     """Fused head mix: w2d [n, H*B*A] (h-major, then b, then a — the
-    ``comb`` Dense layout) x per-aggregator ys (A arrays [n, B*L]) ->
-    [n, H*L]. Rows are padded to the block size and sliced back.
+    ``comb`` Dense layout) x per-aggregator ys (A arrays [n, y_width],
+    first B*L columns meaningful) -> [n, H*L]. Rows are padded to the
+    block size and sliced back. ``y_width`` (default B*L) lets callers
+    pass the 128-lane-padded arrays the fused aggregation kernels emit
+    (tails ignored; dy tails zero).
 
     float32 only (the kernel math and its VMEM model assume 4-byte lanes);
     non-f32 inputs raise rather than mis-typing inside the kernel."""
     ys = tuple(ys)
     n = w2d.shape[0]
-    if w2d.shape[1] != H * B * A or any(y.shape != (n, B * L) for y in ys) \
-            or len(ys) != A:
+    y_width = y_width or B * L
+    if y_width < B * L:
+        raise ValueError("y_width must be >= B*L")
+    if w2d.shape[1] != H * B * A \
+            or any(y.shape != (n, y_width) for y in ys) or len(ys) != A:
         raise ValueError("head_mix_fused: inconsistent shapes")
     if w2d.dtype != jnp.float32 or any(y.dtype != jnp.float32 for y in ys):
         raise TypeError(
@@ -192,12 +206,13 @@ def head_mix_fused(w2d: jnp.ndarray, ys, *, H: int, B: int, A: int,
             f"{[str(y.dtype) for y in ys]}); cast or use the XLA head mix")
     R = headmix_block_rows(H, B, A, L)
     if R == 0:   # shape exceeds scoped VMEM even at R=128 — XLA fallback
-        return _head_mix_xla(w2d, ys, H, B, A, L)
+        return _head_mix_xla(w2d, tuple(y[:, :B * L] for y in ys),
+                             H, B, A, L)
     n_pad = ((n + R - 1) // R) * R
     if n_pad != n:
         w2d = jnp.pad(w2d, ((0, n_pad - n), (0, 0)))
         ys = tuple(jnp.pad(y, ((0, n_pad - n), (0, 0))) for y in ys)
-    out = _make_headmix(n_pad, H, B, A, L, R)(w2d, ys)
+    out = _make_headmix(n_pad, H, B, A, L, R, y_width)(w2d, ys)
     return out[:n] if n_pad != n else out
 
 

@@ -105,34 +105,30 @@ def main():
 
     def run_device_epoch(tag):
         """Fully on-device sampling (device_sampling; VERDICT r4 item 6):
-        the host contributes only the shuffled seed id stream."""
-        from egc_tpu.data.device_sampling import (
-            DeviceNeighborSampler, DeviceSampledLoader,
-        )
+        sampling is FUSED INTO the train step — one jitted call per batch
+        (separate sample/gather/step calls each pay the remote tunnel's
+        per-dispatch latency; measured 94 ms/batch as 3 calls vs the host
+        path's 63). The host contributes only the shuffled seed stream."""
+        from egc_tpu.data import device_sampling as ds
 
-        dsamp = DeviceNeighborSampler(raw["senders"], raw["receivers"], n,
-                                      fanouts=(15, 10))
-        loader = DeviceSampledLoader(dsamp, raw["y"], seeds,
-                                     batch_size=1024, rng_seed=1)
-        it = iter(loader)
-        g0, y0, m0, gid0 = next(it)
-        g0x = g0.replace(nodes=jnp.take(x_full, jnp.minimum(gid0, n - 1),
-                                        axis=0))
-        variables = jax.jit(net.init, static_argnames=("train",))(
-            jax.random.key(0), g0x, train=False)
-        state = TrainState.create(params=variables["params"],
-                                  batch_stats=variables["batch_stats"],
-                                  tx=make_optimizer(1e-2, 0.0))
+        dsamp = ds.DeviceNeighborSampler(raw["senders"], raw["receivers"],
+                                         n, fanouts=(15, 10))
+        sample_raw = dsamp.raw(1024)
+        y_full = jnp.asarray(raw["y"])
 
         @jax.jit
-        def step(state, g, gids, y, m, rng):
-            g = g.replace(nodes=jnp.take(x_full,
-                                         jnp.minimum(gids, n - 1), axis=0))
+        def step(state, seeds_b, key):
+            gids, s, r, em, nm, _ = sample_raw(key, seeds_b)
+            gidc = jnp.minimum(gids, n - 1)
+            g = ds.as_graph(gids, s, r, em, nm).replace(
+                nodes=jnp.take(x_full, gidc, axis=0))
+            y = jnp.take(y_full, gidc)
+            m = (jnp.arange(nm.shape[0]) < 1024) & nm
 
             def loss_fn(params, bs):
                 out, mut = net.apply(
                     {"params": params, "batch_stats": bs}, g, train=True,
-                    rngs={"dropout": rng}, mutable=["batch_stats"])
+                    rngs={"dropout": key}, mutable=["batch_stats"])
                 nll = -jnp.sum(out * jax.nn.one_hot(y, 40), axis=1)
                 mm = m.astype(out.dtype)
                 return jnp.sum(nll * mm) / jnp.maximum(jnp.sum(mm), 1.0), \
@@ -142,11 +138,23 @@ def main():
                 loss_fn, has_aux=True)(state.params, state.batch_stats)
             return state.apply_gradients(grads, new_batch_stats=bs), loss
 
+        # init off one sampled batch
+        g0, gid0 = dsamp.sample_graph(jax.random.key(9),
+                                      jnp.asarray(seeds[:1024]))
+        g0x = g0.replace(nodes=jnp.take(x_full, jnp.minimum(gid0, n - 1),
+                                        axis=0))
+        variables = jax.jit(net.init, static_argnames=("train",))(
+            jax.random.key(0), g0x, train=False)
+        state = TrainState.create(params=variables["params"],
+                                  batch_stats=variables["batch_stats"],
+                                  tx=make_optimizer(1e-2, 0.0))
+
+        order = np.random.default_rng(1).permutation(seeds)
         t0 = time.time()
         nb = 0
-        for ep_batch in loader:
-            g, y, m, gids = ep_batch
-            state, loss = step(state, g, gids, y, m, jax.random.key(nb))
+        for i in range(0, len(order) - 1023, 1024):
+            state, loss = step(state, jnp.asarray(order[i:i + 1024]),
+                               jax.random.key(nb))
             if nb == 0:
                 jax.block_until_ready(state)
                 t0 = time.time()   # exclude sample+step compile

@@ -28,12 +28,15 @@ SEGS7 = ("c_sum", "c_wsum", "c_sumsq2", "mx", "c_max", "mn", "c_min")
 SPLIT = (("c_sum", "c_wsum", "c_sumsq2"), ("mx", "c_max", "mn", "c_min"))
 
 
-def timeit(fn, steps=10):
-    out = fn()
+def timeit(fn, *args, steps=10):
+    # args as ARGUMENTS, never closure constants: a closed-over coeff
+    # array ships inside the remote-compile request (CLAUDE.md tunnel
+    # caveat 2) and stalls the upload for 25+ min at this size
+    out = fn(*args)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(steps):
-        out = fn()
+        out = fn(*args)
     jax.block_until_ready(out)
     return (time.time() - t0) / steps
 
@@ -69,8 +72,8 @@ def main():
             rng.normal(size=(n_win, 7 * f)).astype(np.float32))
 
         try:
-            t_single = timeit(jax.jit(
-                lambda: run_bwd(bw, coeff7, vals, SEGS7, ew)))
+            single = jax.jit(lambda c, v, w: run_bwd(bw, c, v, SEGS7, w))
+            t_single = timeit(single, coeff7, vals, ew)
             print(f"{name:6s} single 7-seg sweep: {t_single*1e3:7.1f} ms "
                   f"({t_single*0.94e9/e:.1f} cy/edge)", flush=True)
         except Exception as exc:
@@ -78,15 +81,13 @@ def main():
                   f"({type(exc).__name__}: {str(exc)[:100]})", flush=True)
 
         try:
-            cA = coeff7[:, :3 * f]
-            cB = coeff7[:, 3 * f:]
-
-            def split():
-                a = run_bwd(bw, cA, vals, SPLIT[0], ew)
-                b = run_bwd(bw, cB, vals, SPLIT[1], ew)
+            def split_fn(cA, cB, v, w):
+                a = run_bwd(bw, cA, v, SPLIT[0], w)
+                b = run_bwd(bw, cB, v, SPLIT[1], w)
                 return a + b
 
-            t_split = timeit(jax.jit(split))
+            t_split = timeit(jax.jit(split_fn), coeff7[:, :3 * f],
+                             coeff7[:, 3 * f:], vals, ew)
             print(f"{name:6s} split 3+4 sweeps:   {t_split*1e3:7.1f} ms "
                   f"({t_split*0.94e9/e:.1f} cy/edge)", flush=True)
         except Exception as exc:
