@@ -121,16 +121,21 @@ class DeviceNeighborSampler:
     def raw(self, batch_size: int, node_multiple: int = 8):
         """UNJITTED sample closure — compose it INSIDE a jitted train step
         (one device call per batch; through a remote-tunnel chip the
-        per-call dispatch latency otherwise dominates the sample)."""
+        per-call dispatch latency otherwise dominates the sample).
+
+        Signature: ``sample(key, seeds, rowptr, in_senders)`` — the CSR
+        arrays are ARGUMENTS, never closure constants (jit constants ship
+        inside the remote-compile request body; a mag-scale edge array
+        exceeds its length limit — CLAUDE.md tunnel caveat 2). Pass
+        ``self.csr`` through the caller's jit boundary."""
         N = self.num_nodes
         fanouts = self.fanouts
         node_budget, edge_budget = self.padded_budgets(batch_size,
                                                        node_multiple)
-        rowptr, in_senders = self._rowptr, self._in_senders
         i32 = jnp.int32
         pad_node = node_budget - 1
 
-        def sample(key, seeds):
+        def sample(key, seeds, rowptr, in_senders):
             """seeds [batch_size] int32; padded slots carry sentinel N."""
             S = batch_size
             seed_ok = seeds < N
@@ -195,12 +200,18 @@ class DeviceNeighborSampler:
 
         return sample
 
+    @property
+    def csr(self):
+        """(rowptr, in_senders) device arrays for the raw() signature."""
+        return self._rowptr, self._in_senders
+
     def sample(self, key, seeds: jnp.ndarray):
         """One device-side sample. ``seeds``: [S] int32 (sentinel
         ``num_nodes`` pads a short final batch). Returns
         (gids [node_budget], senders/receivers/edge_mask [edge_budget],
         node_mask, n_nodes)."""
-        return self._fn(int(seeds.shape[0]))(key, seeds)
+        return self._fn(int(seeds.shape[0]))(key, seeds, self._rowptr,
+                                             self._in_senders)
 
     def sample_graph(self, key, seeds, *, x_width: int = 0):
         """Sample and wrap as a padded zero-width-feature Graph + gids,

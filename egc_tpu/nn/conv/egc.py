@@ -120,10 +120,18 @@ class EGConv(nn.Module):
         bl_pad = ((bl + 127) // 128) * 128 if use_fused_mix else bl
         if bl_pad != bl:
             wb = jnp.pad(wb, ((0, 0), (0, bl_pad - bl)))
-        fused = x @ jnp.concatenate([wb.astype(x.dtype),
-                                     wc.astype(x.dtype)], axis=1)
-        bases = fused[:, :bl_pad]
-        w = fused[:, bl_pad:] + bc
+        if fan_in >= 192:
+            # one pass over x wins when re-streaming the [n, in]
+            # activation dominates (mag h352 layer 1: 36 -> 23 ms);
+            # at in=128 the split/concat overhead outweighs it (arxiv
+            # h128 measured ~1% slower fused)
+            fused = x @ jnp.concatenate([wb.astype(x.dtype),
+                                         wc.astype(x.dtype)], axis=1)
+            bases = fused[:, :bl_pad]
+            w = fused[:, bl_pad:] + bc
+        else:
+            bases = x @ wb.astype(x.dtype)
+            w = x @ wc.astype(x.dtype) + bc
         if self.weighting == "softmax":
             # softmax across ALL bases*aggregators per head
             # (reference experiments/layers.py:112-120).

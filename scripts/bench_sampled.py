@@ -116,9 +116,12 @@ def main():
         sample_raw = dsamp.raw(1024)
         y_full = jnp.asarray(raw["y"])
 
+        # big arrays (CSR, features, labels) as jit ARGUMENTS — closure
+        # constants ship in the remote-compile request (HTTP 413)
         @jax.jit
-        def step(state, seeds_b, key):
-            gids, s, r, em, nm, _ = sample_raw(key, seeds_b)
+        def step(state, seeds_b, key, rowptr, in_senders, x_full, y_full):
+            gids, s, r, em, nm, _ = sample_raw(key, seeds_b, rowptr,
+                                               in_senders)
             gidc = jnp.minimum(gids, n - 1)
             g = ds.as_graph(gids, s, r, em, nm).replace(
                 nodes=jnp.take(x_full, gidc, axis=0))
@@ -149,12 +152,29 @@ def main():
                                   batch_stats=variables["batch_stats"],
                                   tx=make_optimizer(1e-2, 0.0))
 
+        rowptr, in_senders = dsamp.csr
         order = np.random.default_rng(1).permutation(seeds)
+        import sys as _sys
+        if "profile" in _sys.argv:
+            # device self-time separates real compute from the remote
+            # tunnel's per-dispatch latency (absent on a real host)
+            s1, _ = step(state, jnp.asarray(order[:1024]),
+                         jax.random.key(99), rowptr, in_senders,
+                         x_full, y_full)
+            jax.block_until_ready(s1)
+            from egc_tpu.utils.profiling import print_op_table
+            with jax.profiler.trace("/tmp/samptrace"):
+                s1, _ = step(s1, jnp.asarray(order[:1024]),
+                             jax.random.key(98), rowptr, in_senders,
+                             x_full, y_full)
+                jax.block_until_ready(s1)
+            print_op_table("/tmp/samptrace", top=15)
         t0 = time.time()
         nb = 0
         for i in range(0, len(order) - 1023, 1024):
             state, loss = step(state, jnp.asarray(order[i:i + 1024]),
-                               jax.random.key(nb))
+                               jax.random.key(nb), rowptr, in_senders,
+                               x_full, y_full)
             if nb == 0:
                 jax.block_until_ready(state)
                 t0 = time.time()   # exclude sample+step compile
