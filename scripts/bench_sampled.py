@@ -103,7 +103,7 @@ def main():
         print(f"{tag}: epoch {dt:.2f}s ({dt/timed*1e3:.1f} ms/batch, "
               f"{timed} timed batches) loss={float(loss):.3f}", flush=True)
 
-    def run_device_epoch(tag):
+    def run_device_epoch(tag, device_plans=False):
         """Fully on-device sampling (device_sampling; VERDICT r4 item 6):
         sampling is FUSED INTO the train step — one jitted call per batch
         (separate sample/gather/step calls each pay the remote tunnel's
@@ -113,7 +113,9 @@ def main():
 
         dsamp = ds.DeviceNeighborSampler(raw["senders"], raw["receivers"],
                                          n, fanouts=(15, 10))
-        sample_raw = dsamp.raw(1024)
+        # device plans need geometry-aligned node budgets
+        node_mult = 4096 if device_plans else 8
+        sample_raw = dsamp.raw(1024, node_mult)
         y_full = jnp.asarray(raw["y"])
 
         # big arrays (CSR, features, labels) as jit ARGUMENTS — closure
@@ -125,6 +127,13 @@ def main():
             gidc = jnp.minimum(gids, n - 1)
             g = ds.as_graph(gids, s, r, em, nm).replace(
                 nodes=jnp.take(x_full, gidc, axis=0))
+            if device_plans:
+                # per-batch kernel plan built ON DEVICE inside the step:
+                # the fused sweeps replace the XLA scatter path (narrow
+                # layout skipped — 3-primitive sets ride plan.bwd)
+                from egc_tpu.ops.dispatch import build_kernel_plan_jax
+                g = g.replace(kernel_plan=build_kernel_plan_jax(
+                    s, r, nm.shape[0], bwd_narrow_window_rows=None))
             y = jnp.take(y_full, gidc)
             m = (jnp.arange(nm.shape[0]) < 1024) & nm
 
@@ -190,6 +199,30 @@ def main():
         run_epoch(False, 0, "XLA devgather sync   ")
         run_epoch(False, 4, "XLA devgather pre4   ")
         run_device_epoch("device sampler       ")
+        run_device_epoch("device sampler+plans ", device_plans=True)
+
+        # isolate the in-jit plan-build cost (the viability question)
+        from egc_tpu.ops.dispatch import build_kernel_plan_jax
+        from egc_tpu.data import device_sampling as ds
+        dsamp2 = ds.DeviceNeighborSampler(raw["senders"],
+                                          raw["receivers"], n,
+                                          fanouts=(15, 10))
+        g0, _ = dsamp2.sample_graph(jax.random.key(0),
+                                    jnp.asarray(seeds[:1024]))
+        nb_pad = ((g0.node_mask.shape[0] + 4095) // 4096) * 4096
+        s0 = jnp.pad(g0.senders, (0, 0))
+        pb = jax.jit(lambda s, r: build_kernel_plan_jax(
+            s, r, nb_pad, bwd_narrow_window_rows=None))
+        sa = jnp.minimum(g0.senders, nb_pad - 1)
+        ra = jnp.minimum(g0.receivers, nb_pad - 1)
+        out = pb(sa, ra)
+        jax.block_until_ready(out)
+        t0 = time.time()
+        for _ in range(10):
+            out = pb(sa, ra)
+        jax.block_until_ready(out)
+        print(f"plan-build (jit, 2 layouts): "
+              f"{(time.time()-t0)/10*1e3:.1f} ms", flush=True)
     else:
         run_epoch(False, 0, "XLA host-gather sync ", dev_gather=False)
         run_epoch(False, 0, "XLA devgather sync   ")

@@ -155,3 +155,85 @@ def test_loader_items_and_training_smoke(rng):
             losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
+
+
+def test_device_plan_matches_host_plan(rng, monkeypatch):
+    """build_kernel_plan_jax (in-jit plan construction for dynamic
+    graphs) must reproduce the host-built plan's fused aggregation —
+    values AND grads — including masked-edge redirection."""
+    import jax.experimental.pallas as pl
+    import egc_tpu.ops.pallas.gather_reduce as gr
+    from egc_tpu.ops.dispatch import (
+        build_kernel_plan, build_kernel_plan_jax, conv_aggregate,
+    )
+    from egc_tpu.graph.structure import Graph
+    from egc_tpu.graph.transforms import symnorm_weight
+
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(gr.pl, "pallas_call", patched)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    n_pad, e = 512, 900          # aligned to the small test geometry
+    geom = dict(fwd_block_rows=128, fwd_window_rows=256,
+                bwd_block_rows=256, bwd_window_rows=128,
+                bwd_narrow_window_rows=None)
+    s = rng.integers(0, n_pad - 1, e).astype(np.int32)
+    r = rng.integers(0, n_pad - 1, e).astype(np.int32)
+    pair = np.unique(np.stack([s, r], 1), axis=0)
+    s, r = pair[:, 0].copy(), pair[:, 1].copy()
+    em = rng.random(len(s)) < 0.9
+    # device-sampler convention: masked edges point at the padding row
+    s_red = np.where(em, s, n_pad - 1).astype(np.int32)
+    r_red = np.where(em, r, n_pad - 1).astype(np.int32)
+    x = rng.normal(size=(n_pad, 16)).astype(np.float32)
+    aggrs = ("symnorm", "max", "mean")
+    ew, sw = symnorm_weight(jnp.asarray(s), jnp.asarray(r), n_pad,
+                            edge_mask=jnp.asarray(em))
+
+    # host plan reserves its own extra pad block (n_pad 768) and
+    # redirects masked edges there; the device plan redirects to row
+    # n_pad-1 — valid-row outputs must agree regardless
+    host_plan = build_kernel_plan(s, r, n_pad, edge_mask=em,
+                                  keep_masked_edges=True,
+                                  has_padding_row=True, attention=False,
+                                  **geom)
+
+    def run(plan):
+        g = Graph.from_coo(x, s_red, r_red).replace(kernel_plan=plan)
+
+        def f(v):
+            out = conv_aggregate(g, v, aggrs, symnorm_edge_w=ew,
+                                 symnorm_self_w=sw)
+            return jnp.sum(out[: n_pad - 1] ** 2), out
+
+        (loss, out), grad = jax.value_and_grad(f, has_aux=True)(
+            jnp.asarray(x))
+        return loss, out, grad
+
+    l_h, o_h, g_h = run(host_plan)
+
+    @jax.jit
+    def dev_plan(sj, rj):
+        return build_kernel_plan_jax(sj, rj, n_pad, **geom)
+
+    l_d, o_d, g_d = run(dev_plan(jnp.asarray(s_red), jnp.asarray(r_red)))
+    np.testing.assert_allclose(float(l_d), float(l_h), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_d)[: n_pad - 1],
+                               np.asarray(o_h)[: n_pad - 1],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_h),
+                               rtol=1e-4, atol=1e-5)
+
+    # and against the XLA segment truth (plan-free path)
+    from egc_tpu.ops.segment import multi_aggregate
+    truth = multi_aggregate(jnp.asarray(x), jnp.asarray(s), jnp.asarray(r),
+                            aggrs, edge_mask=jnp.asarray(em),
+                            symnorm_edge_w=ew, symnorm_self_w=sw)
+    np.testing.assert_allclose(np.asarray(o_d)[: n_pad - 1],
+                               np.asarray(truth)[: n_pad - 1],
+                               rtol=1e-4, atol=1e-5)
