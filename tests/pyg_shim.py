@@ -430,7 +430,9 @@ def import_reference_module(dotted):
     ``from experiments.layers import ...``)."""
     install()
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND: the reference tree also has a top-level main.py —
+        # prepending would shadow this repo's main for later tests
+        sys.path.append(REFERENCE_ROOT)
     return importlib.import_module(dotted)
 
 
