@@ -80,8 +80,8 @@ def build_data(raw, *, hidden, heads, bases, aggrs):
         raw, wide_aggrs=(tuple(aggrs) if wide_bl > 128 else None))
 
 
-def run_config(raw, d, *, metric, kind, hidden, aggrs=None, heads=4,
-               bases=4, steps=10, num_layers=3):
+def run_config(d, *, metric, kind, hidden, aggrs=None, heads=4,
+               bases=4, steps=10, num_layers=3, remat=False):
     """Measure one full-graph arxiv-shaped training-step config."""
     import jax
     import jax.numpy as jnp
@@ -96,7 +96,7 @@ def run_config(raw, d, *, metric, kind, hidden, aggrs=None, heads=4,
             else ConvSpec(kind=kind, heads=heads))
     net = ArxivNet(conv=conv, hidden_dim=hidden, num_layers=num_layers,
                    dropout=0.0, residual=True, num_features=128,
-                   num_classes=40, log_probs=False)
+                   num_classes=40, log_probs=False, remat=remat)
     variables = jax.jit(net.init, static_argnames=("train",))(
         jax.random.key(0), d["graph"], train=False)
     state = TrainState.create(params=variables["params"],
@@ -175,7 +175,8 @@ def main():
                     help="tiny shapes for a quick smoke run")
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--hidden", type=int, default=128)
-    ap.add_argument("--remat", action="store_true")  # kept for CLI compat
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize conv blocks (activation memory)")
     ap.add_argument("--aggrs", type=str, default="symnorm,max,mean")
     ap.add_argument("--grid", action="store_true",
                     help="one JSON line per PERFORMANCE.md config")
@@ -203,7 +204,7 @@ def main():
             wide = kind == "egc" and 4 * (hidden // heads) > 128
             d = build_data(raw, hidden=hidden, heads=heads, bases=4,
                            aggrs=aggrs) if wide else d_narrow
-            row = run_config(raw, d, metric=metric, kind=kind,
+            row = run_config(d, metric=metric, kind=kind,
                              hidden=hidden, aggrs=aggrs, heads=heads,
                              steps=args.steps)
             print(json.dumps(row), flush=True)
@@ -211,9 +212,9 @@ def main():
 
     aggrs = tuple(args.aggrs.split(","))
     d = build_data(raw, hidden=args.hidden, heads=4, bases=4, aggrs=aggrs)
-    row = run_config(raw, d, metric="egc_m_arxiv_train_edges_per_s_per_chip",
+    row = run_config(d, metric="egc_m_arxiv_train_edges_per_s_per_chip",
                      kind="egc", hidden=args.hidden, aggrs=aggrs,
-                     steps=args.steps)
+                     steps=args.steps, remat=args.remat)
     print(json.dumps(row), flush=True)
 
 

@@ -96,6 +96,10 @@ class DeviceNeighborSampler:
         self._rowptr = jnp.asarray(
             np.searchsorted(receivers[order],
                             np.arange(num_nodes + 1)).astype(np.int32))
+        # per-instance closure/jit cache (a functools.lru_cache on bound
+        # methods would pin every sampler instance — and its device CSR
+        # arrays — for the process lifetime)
+        self._cache = {}
 
     def budgets(self, batch_size: int) -> Tuple[int, int]:
         """Worst-case (nodes, edges) — identical to the host sampler."""
@@ -113,11 +117,12 @@ class DeviceNeighborSampler:
         eb = ((eb + 127) // 128) * 128
         return nb, eb
 
-    @functools.lru_cache(maxsize=None)
     def _fn(self, batch_size: int, node_multiple: int = 8):
-        return jax.jit(self.raw(batch_size, node_multiple))
+        key = ("jit", batch_size, node_multiple)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(self.raw(batch_size, node_multiple))
+        return self._cache[key]
 
-    @functools.lru_cache(maxsize=None)
     def raw(self, batch_size: int, node_multiple: int = 8):
         """UNJITTED sample closure — compose it INSIDE a jitted train step
         (one device call per batch; through a remote-tunnel chip the
@@ -128,6 +133,9 @@ class DeviceNeighborSampler:
         inside the remote-compile request body; a mag-scale edge array
         exceeds its length limit — CLAUDE.md tunnel caveat 2). Pass
         ``self.csr`` through the caller's jit boundary."""
+        key = ("raw", batch_size, node_multiple)
+        if key in self._cache:
+            return self._cache[key]
         N = self.num_nodes
         fanouts = self.fanouts
         node_budget, edge_budget = self.padded_budgets(batch_size,
@@ -198,6 +206,7 @@ class DeviceNeighborSampler:
                          n_cur) & (gids < N)
             return gids, s_all, r_all, m_all, node_mask, n_cur
 
+        self._cache[key] = sample
         return sample
 
     @property

@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import os
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -120,18 +122,28 @@ class EGConv(nn.Module):
         bl_pad = ((bl + 127) // 128) * 128 if use_fused_mix else bl
         if bl_pad != bl:
             wb = jnp.pad(wb, ((0, 0), (0, bl_pad - bl)))
+        # EGC_TPU_BF16_DENSE=1: bf16 multiplies for the node-level
+        # matmuls (f32 accumulate/output). The mag h352 dots are
+        # f32-MXU-compute-bound (~21 ms of the 695 ms step); bf16 is the
+        # standard TPU training numerics but the reference trained f32,
+        # so this is opt-in (goldens/parity gates run f32).
+        mm_dtype = jnp.bfloat16 if (
+            use_fused_mix and os.environ.get("EGC_TPU_BF16_DENSE") == "1"
+        ) else x.dtype
+        xm = x.astype(mm_dtype)
         if fan_in >= 192:
             # one pass over x wins when re-streaming the [n, in]
             # activation dominates (mag h352 layer 1: 36 -> 23 ms);
             # at in=128 the split/concat overhead outweighs it (arxiv
             # h128 measured ~1% slower fused)
-            fused = x @ jnp.concatenate([wb.astype(x.dtype),
-                                         wc.astype(x.dtype)], axis=1)
+            fused = (xm @ jnp.concatenate([wb.astype(mm_dtype),
+                                           wc.astype(mm_dtype)], axis=1)
+                     ).astype(jnp.float32)
             bases = fused[:, :bl_pad]
             w = fused[:, bl_pad:] + bc
         else:
-            bases = x @ wb.astype(x.dtype)
-            w = x @ wc.astype(x.dtype) + bc
+            bases = (xm @ wb.astype(mm_dtype)).astype(jnp.float32)
+            w = (xm @ wc.astype(mm_dtype)).astype(jnp.float32) + bc
         if self.weighting == "softmax":
             # softmax across ALL bases*aggregators per head
             # (reference experiments/layers.py:112-120).

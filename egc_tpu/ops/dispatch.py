@@ -286,9 +286,13 @@ def build_kernel_plan_jax(
     build, no plan transfer). Preconditions (the device-sampler output
     contract): ``n_pad`` aligned to every geometry in use; padded/masked
     edges already point sender AND receiver at the padding row
-    ``n_pad - 1``. Two argsorts + searchsorted per layout (~ms at
-    100k-edge budgets); the fused sweeps this enables replace the XLA
-    scatter path that dominates the sampled step."""
+    ``n_pad - 1``; AND the padding row's FEATURES must be zero — the
+    duplicate pad->pad self-loops are real edges to the fused sweeps, so
+    a nonzero pad row would grow geometrically through sum-family
+    aggregators layer over layer (the same hazard build_kernel_plan's
+    ``has_padding_row`` note documents; with zero features every pad
+    contribution is exactly 0). One argsort + searchsorted per layout
+    (~ms at 100k-edge budgets)."""
     align = max(fwd_block_rows, fwd_window_rows, bwd_block_rows,
                 bwd_window_rows, bwd_narrow_window_rows or 0)
     if n_pad % align:

@@ -125,8 +125,12 @@ def main():
             gids, s, r, em, nm, _ = sample_raw(key, seeds_b, rowptr,
                                                in_senders)
             gidc = jnp.minimum(gids, n - 1)
-            g = ds.as_graph(gids, s, r, em, nm).replace(
-                nodes=jnp.take(x_full, gidc, axis=0))
+            # pad-row features must be ZERO (build_kernel_plan_jax
+            # contract: pad->pad duplicate loops are real edges to the
+            # fused sweeps); where() fuses into the gather
+            nodes = jnp.where(nm[:, None], jnp.take(x_full, gidc, axis=0),
+                              0.0)
+            g = ds.as_graph(gids, s, r, em, nm).replace(nodes=nodes)
             if device_plans:
                 # per-batch kernel plan built ON DEVICE inside the step:
                 # the fused sweeps replace the XLA scatter path (narrow
@@ -210,7 +214,6 @@ def main():
         g0, _ = dsamp2.sample_graph(jax.random.key(0),
                                     jnp.asarray(seeds[:1024]))
         nb_pad = ((g0.node_mask.shape[0] + 4095) // 4096) * 4096
-        s0 = jnp.pad(g0.senders, (0, 0))
         pb = jax.jit(lambda s, r: build_kernel_plan_jax(
             s, r, nb_pad, bwd_narrow_window_rows=None))
         sa = jnp.minimum(g0.senders, nb_pad - 1)

@@ -15,7 +15,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from egc_tpu.ops.pallas.headmix import head_mix_fused
+from egc_tpu.ops.pallas.headmix import _head_mix_xla, head_mix_fused
 
 SHAPES = [
     # (H, B, A, L, n, label)
@@ -29,11 +29,10 @@ SHAPES = [
 ]
 
 
-def xla_mix(w2d, ys, H, B, A, L):
-    n = w2d.shape[0]
-    y = jnp.stack(ys, axis=1).reshape(n, A * B, L)
-    w = w2d.reshape(n, H, B, A).transpose(0, 1, 3, 2).reshape(n, H, A * B)
-    return jnp.sum(w[..., None] * y[:, None], axis=2).reshape(n, H * L)
+# the production R==0 fallback IS the reference formulation — sharing it
+# keeps the probe honest when that code moves (the kernel path under test
+# is separate code)
+xla_mix = _head_mix_xla
 
 
 def relerr(a, b):

@@ -62,6 +62,40 @@ def test_headmix_kernel_matches_xla(H, B, A, L):
                                    rtol=1e-4, atol=1e-4, err_msg=f"dy[{a}]")
 
 
+@pytest.mark.parametrize("H,B,A,L,yw", [
+    (4, 4, 3, 32, 256),    # padded wider than B*L=128
+    (4, 4, 1, 4, 128),     # tiny F=16 padded to a full register
+    (8, 4, 1, 44, 256),    # mag shape at the wide sweep width
+])
+def test_headmix_kernel_y_width(H, B, A, L, yw):
+    """y_width > B*L (lane-padded inputs from the fused sweeps): values
+    and grads must match slicing to B*L, and dy tails must be ZERO (they
+    feed the aggregation backward's padded lanes)."""
+    n = 100
+    rng = np.random.default_rng(3)
+    F = B * L
+    w2d = jnp.asarray(rng.normal(size=(n, H * B * A)).astype(np.float32))
+    ys = tuple(jnp.asarray(rng.normal(size=(n, yw)).astype(np.float32))
+               for _ in range(A))
+    dz = jnp.asarray(rng.normal(size=(n, H * L)).astype(np.float32))
+
+    ref, vjp_ref = jax.vjp(
+        lambda w, y: hm.head_mix_fused(
+            w, tuple(t[:, :F] for t in y), H=H, B=B, A=A, L=L), w2d, ys)
+    got, vjp_got = jax.vjp(
+        lambda w, y: hm.head_mix_fused(w, y, H=H, B=B, A=A, L=L,
+                                       y_width=yw), w2d, ys)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    (dw_r, dys_r), (dw_g, dys_g) = vjp_ref(dz), vjp_got(dz)
+    np.testing.assert_allclose(np.asarray(dw_g), np.asarray(dw_r),
+                               rtol=1e-4, atol=1e-4)
+    for a, (dr, dg) in enumerate(zip(dys_r, dys_g)):
+        np.testing.assert_allclose(np.asarray(dg), np.asarray(dr),
+                                   rtol=1e-4, atol=1e-4, err_msg=f"dy[{a}]")
+        assert not np.asarray(dg)[:, F:].any(), "dy pad tail must be zero"
+
+
 def test_headmix_block_rows_vmem_model():
     # mag / arxiv shapes afford 1024-row blocks; the h136 transpose pass
     # (136-lane buffers round to 256) must drop to 512 (measured OOM at
