@@ -172,24 +172,23 @@ class EGConv(nn.Module):
         # the graph carries a kernel plan and B*L is lane-aligned.
         from egc_tpu.ops.dispatch import conv_aggregate
 
+        bias = self.param("bias", nn.initializers.zeros, (O,),
+                          jnp.float32) if self.use_bias else None
         if use_fused_mix:
             # Fused head mix: consume the per-aggregator parts directly
             # (no [n, A, F] stack, no [n, H, A*B, L] intermediate) — see
             # ops/pallas/headmix.py for the measured XLA-lowering gap.
+            # Bias rides the kernel epilogue (saves the [n, O] add pass).
             ys = conv_aggregate(g, bases, aggrs, include_self=include_self,
                                 symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw,
                                 stacked=False)
-            z = head_mix_fused(w.reshape(n, H * B * A), ys,
-                               H=H, B=B, A=A, L=L,
-                               y_width=ys[0].shape[1])
-        else:
-            y = conv_aggregate(g, bases, aggrs, include_self=include_self,
-                               symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw)
-            y = y.reshape(n, A, B, L)
+            return head_mix_fused(w.reshape(n, H * B * A), ys,
+                                  H=H, B=B, A=A, L=L,
+                                  y_width=ys[0].shape[1], bias=bias)
+        y = conv_aggregate(g, bases, aggrs, include_self=include_self,
+                           symnorm_edge_w=sym_ew, symnorm_self_w=sym_sw)
+        y = y.reshape(n, A, B, L)
 
-            # Head mixing (see head_mix for the TPU lowering note).
-            z = head_mix(w, y, n, H, B, A, L).reshape(n, O)
-
-        if self.use_bias:
-            z = z + self.param("bias", nn.initializers.zeros, (O,), jnp.float32)
-        return z
+        # Head mixing (see head_mix for the TPU lowering note).
+        z = head_mix(w, y, n, H, B, A, L).reshape(n, O)
+        return z if bias is None else z + bias

@@ -62,6 +62,30 @@ def test_headmix_kernel_matches_xla(H, B, A, L):
                                    rtol=1e-4, atol=1e-4, err_msg=f"dy[{a}]")
 
 
+def test_headmix_kernel_bias_epilogue():
+    """bias=: the kernel epilogue fold must equal mix + bias, with
+    dbias = column sums of dz."""
+    H, B, A, L, n = 4, 4, 3, 32, 100
+    rng = np.random.default_rng(4)
+    w2d = jnp.asarray(rng.normal(size=(n, H * B * A)).astype(np.float32))
+    ys = tuple(jnp.asarray(rng.normal(size=(n, B * L)).astype(np.float32))
+               for _ in range(A))
+    bias = jnp.asarray(rng.normal(size=(H * L,)).astype(np.float32))
+    dz = jnp.asarray(rng.normal(size=(n, H * L)).astype(np.float32))
+
+    ref, vjp_ref = jax.vjp(
+        lambda w, y, b: hm.head_mix_fused(w, y, H=H, B=B, A=A, L=L) + b,
+        w2d, ys, bias)
+    got, vjp_got = jax.vjp(
+        lambda w, y, b: hm.head_mix_fused(w, y, H=H, B=B, A=A, L=L,
+                                          bias=b), w2d, ys, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(vjp_ref(dz), vjp_got(dz)):
+        jax.tree.map(lambda u, v: np.testing.assert_allclose(
+            np.asarray(v), np.asarray(u), rtol=1e-4, atol=1e-4), a, b)
+
+
 @pytest.mark.parametrize("H,B,A,L,yw", [
     (4, 4, 3, 32, 256),    # padded wider than B*L=128
     (4, 4, 1, 4, 128),     # tiny F=16 padded to a full register

@@ -92,3 +92,26 @@ def test_parity_from_real_dryrun(tmp_path):
     summary = rows[-1]
     assert summary["evaluated"] == 1 and summary["failed"] == 0, rows
     assert rows[0]["status"] == "ok(pipeline)", rows
+
+
+def test_bench_grid_smoke(tmp_path):
+    """`bench.py --grid` (the driver-facing per-round regression net) runs
+    every row end-to-end on tiny shapes and emits valid JSON lines."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    code = subprocess.run(
+        [sys.executable, "bench.py", "--small", "--steps", "2", "--grid"],
+        capture_output=True, text=True, timeout=420, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert code.returncode == 0, code.stderr[-1500:]
+    rows = [json.loads(ln) for ln in code.stdout.splitlines()
+            if ln.startswith("{")]
+    assert len(rows) == 5, code.stdout
+    assert {r["metric"] for r in rows} == {
+        "egc_m_arxiv_train_edges_per_s_per_chip",
+        "egc_s_arxiv_train_edges_per_s_per_chip",
+        "egc_m6_arxiv_train_edges_per_s_per_chip",
+        "egc_m_h136_arxiv_train_edges_per_s_per_chip",
+        "gat_h152_arxiv_train_edges_per_s_per_chip"}
+    assert all(np.isfinite(r["value"]) and r["value"] > 0 for r in rows)
