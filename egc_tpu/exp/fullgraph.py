@@ -420,16 +420,42 @@ class SampledMagConfig(MagConfig):
     """
 
     def __init__(self, *args, fanouts=(15, 10), batch_size: int = 512,
-                 **kwargs):
+                 device_sampler: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.fanouts = tuple(fanouts)
         self.batch_size = batch_size
+        # device_sampler: the layered neighbor sample runs as jax INSIDE
+        # the jitted train step (data/device_sampling.py) — one device
+        # call per batch, host contributes only the shuffled seed stream
+        # (the 61 ms/batch blocking host sampler disappears; measured
+        # 64 vs 124-183 ms/batch in a degraded-tunnel session,
+        # scripts/bench_sampled.py)
+        self.device_sampler = device_sampler
 
     def data(self, hparams):
         from egc_tpu.data.sampling import NeighborSampler, SampledNodeLoader
 
         raw = self.load_full_graph()
         n = raw["x"].shape[0]
+        if self.device_sampler:
+            from egc_tpu.data.device_sampling import DeviceNeighborSampler
+
+            dsampler = DeviceNeighborSampler(
+                raw["senders"], raw["receivers"], n, fanouts=self.fanouts)
+            self._avg_log_deg = 1.0
+            wide_aggrs = None
+            if self.model_kind == "egc":
+                bl = self.bases * (self.hidden // self.heads)
+                if bl > 128:
+                    wide_aggrs = self.aggrs or ("symnorm",)
+            full = full_graph_to_device_dict(raw, wide_aggrs=wide_aggrs)
+            return {"dsampler": dsampler,
+                    "seed_ids": {s: np.asarray(raw[f"{s}_idx"])
+                                 for s in ("train", "val", "test")},
+                    "num_classes": raw["num_classes"],
+                    "x_full": jnp.asarray(raw["x"]),
+                    "y_full": jnp.asarray(raw["y"]),
+                    "full": full}
         sampler = NeighborSampler(raw["senders"], raw["receivers"], n,
                                   fanouts=self.fanouts)
         # Feature rows are gathered ON DEVICE from the HBM-resident full
@@ -493,11 +519,75 @@ class SampledMagConfig(MagConfig):
             cache[model] = step
         return cache[model]
 
+    def _device_sampled_step(self, model, dsampler):
+        cache = getattr(self, "_dev_sampled_cache", None)
+        if cache is None:
+            cache = self._dev_sampled_cache = {}
+        key = (model, id(dsampler))
+        if key not in cache:
+            from egc_tpu.data import device_sampling as dsmod
+
+            sample_raw = dsampler.raw(self.batch_size)
+            loss_fn = self.loss_fn
+            n = dsampler.num_nodes
+
+            @jax.jit
+            def step(state, seeds, rng, rowptr, in_senders, x_full,
+                     y_full):
+                gids, s, r, em, nm, _ = sample_raw(rng, seeds, rowptr,
+                                                   in_senders)
+                gidc = jnp.minimum(gids, n - 1)
+                nodes = jnp.where(nm[:, None],
+                                  jnp.take(x_full, gidc, axis=0), 0.0)
+                graph = dsmod.as_graph(gids, s, r, em, nm).replace(
+                    nodes=nodes)
+                yb = jnp.take(y_full, gidc)
+                seed_mask = (jnp.arange(nm.shape[0]) <
+                             self.batch_size) & nm
+
+                def loss_wrapped(params):
+                    out, mutated = model.apply(
+                        {"params": params,
+                         "batch_stats": state.batch_stats},
+                        graph, train=True, rngs={"dropout": rng},
+                        mutable=["batch_stats"])
+                    return loss_fn(out, (yb, seed_mask), graph), \
+                        mutated.get("batch_stats", state.batch_stats)
+
+                (loss, bs), grads = jax.value_and_grad(
+                    loss_wrapped, has_aux=True)(state.params)
+                return state.apply_gradients(grads, new_batch_stats=bs), \
+                    loss
+
+            cache[key] = step
+        return cache[key]
+
+    def _device_seed_batches(self, data, rng_np):
+        n = data["dsampler"].num_nodes
+        order = np.array(data["seed_ids"]["train"])
+        rng_np.shuffle(order)
+        for i in range(0, len(order), self.batch_size):
+            chunk = order[i:i + self.batch_size]
+            seeds = np.full(self.batch_size, n, np.int32)
+            seeds[:len(chunk)] = chunk
+            yield jnp.asarray(seeds)
+
     def init_state(self, model, hparams, data, seed: int) -> TrainState:
-        g, _, _, gids = next(iter(data["loaders"]["val"]))
-        g = jax.tree.map(jnp.asarray, g)
-        g = g.replace(nodes=jnp.take(data["x_full"], jnp.asarray(gids),
-                                     axis=0))
+        if self.device_sampler:
+            ds = data["dsampler"]
+            g, gids = ds.sample_graph(
+                jax.random.key(0),
+                jnp.asarray(np.asarray(
+                    data["seed_ids"]["val"][:self.batch_size],
+                    np.int32)))
+            n = ds.num_nodes
+            g = g.replace(nodes=jnp.take(
+                data["x_full"], jnp.minimum(gids, n - 1), axis=0))
+        else:
+            g, _, _, gids = next(iter(data["loaders"]["val"]))
+            g = jax.tree.map(jnp.asarray, g)
+            g = g.replace(nodes=jnp.take(data["x_full"], jnp.asarray(gids),
+                                         axis=0))
         variables = jax.jit(model.init, static_argnames=("train",))(
             self.rng(seed), g, train=False)
         return TrainState.create(params=variables["params"],
@@ -505,6 +595,23 @@ class SampledMagConfig(MagConfig):
                                  tx=self.optimizer(hparams))
 
     def train(self, model, state, data, rng, iteration: int):
+        if self.device_sampler:
+            step = self._device_sampled_step(model, data["dsampler"])
+            rowptr, in_senders = data["dsampler"].csr
+            # deterministic per-trial shuffle (hash() is process-salted)
+            rng_np = np.random.default_rng(int(jax.random.randint(
+                jax.random.fold_in(rng, iteration), (), 0, 2 ** 31 - 1)))
+            losses = []
+            for i, seeds in enumerate(
+                    self._device_seed_batches(data, rng_np)):
+                state, loss = step(
+                    state, seeds,
+                    jax.random.fold_in(jax.random.fold_in(rng, iteration),
+                                       i),
+                    rowptr, in_senders, data["x_full"], data["y_full"])
+                losses.append(loss)
+            mean = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+            return state, {"train_loss": mean}
         step = self._sampled_steps(model)
         losses = []     # device-side until epoch end (keep dispatch async)
         for i, (g, yb, seed_mask, gids) in enumerate(

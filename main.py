@@ -62,7 +62,7 @@ def _conv_kwargs(model, heads, bases, aggrs):
 
 def build_config(dataset, model, *, hidden, heads, bases, aggrs,
                  num_samples, synthetic=True, use_old_code_dataset=False,
-                 partitions=0):
+                 partitions=0, sampled=False, device_sampler=False):
     if model not in SUPPORTED[dataset]:
         raise click.UsageError(
             f"{model!r} not supported for {dataset!r} "
@@ -93,9 +93,18 @@ def build_config(dataset, model, *, hidden, heads, bases, aggrs,
                               aggrs=tuple(aggrs.split(",")) if aggrs else None,
                               gat_version=2 if model == "gatv2" else 1)
     elif dataset == "mag":
-        cfg = MagConfig(model, hidden, heads=heads or 8, bases=bases or 4,
-                        aggrs=tuple(aggrs.split(",")) if aggrs else
-                        ("symnorm",))
+        mag_kw = dict(heads=heads or 8, bases=bases or 4,
+                      aggrs=tuple(aggrs.split(",")) if aggrs else
+                      ("symnorm",))
+        if sampled or device_sampler:
+            # neighbor-sampled MAG (BASELINE sampled path); with
+            # --device-sampler the layered sample runs INSIDE the jitted
+            # step (egc_tpu.data.device_sampling)
+            from egc_tpu.exp.fullgraph import SampledMagConfig
+            cfg = SampledMagConfig(model, hidden,
+                                   device_sampler=device_sampler, **mag_kw)
+        else:
+            cfg = MagConfig(model, hidden, **mag_kw)
     elif dataset == "rmag":
         if partitions:
             from egc_tpu.exp.hetero import PartitionedRMagConfig
@@ -145,10 +154,18 @@ def dump_invocation_state(exp_dir: Path):
 @click.option("--synthetic/--real", default=True,
               help="synthetic datasets (default; no-egress environment) or "
                    "real datasets from DATASET_LOC")
+@click.option("--sampled", is_flag=True,
+              help="mag only: neighbor-sampled mini-batch training with "
+                   "deterministic full-graph eval (SampledMagConfig)")
+@click.option("--device-sampler", is_flag=True,
+              help="mag only: implies --sampled; the layered neighbor "
+                   "sample runs INSIDE the jitted train step "
+                   "(data/device_sampling.py)")
 def main(exp_directory, model, dataset, num_samples, check, check_epochs,
          use_default_hparams, hparams, egc_num_bases, egc_num_heads,
          final_runs, aggrs, hidden, seed_base, use_old_code_dataset,
-         pretrained, partitions, search_workers, synthetic):
+         pretrained, partitions, search_workers, synthetic, sampled,
+         device_sampler):
     exp_directory = Path(exp_directory).expanduser()
     exp_directory.mkdir(parents=True, exist_ok=True)
 
@@ -156,7 +173,8 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
                           bases=egc_num_bases, aggrs=aggrs,
                           num_samples=num_samples, synthetic=synthetic,
                           use_old_code_dataset=use_old_code_dataset,
-                          partitions=partitions)
+                          partitions=partitions, sampled=sampled,
+                          device_sampler=device_sampler)
 
     if pretrained:
         # architecture must match the published pretrained config exactly
@@ -205,7 +223,8 @@ def main(exp_directory, model, dataset, num_samples, check, check_epochs,
             hidden=hidden, heads=egc_num_heads, bases=egc_num_bases,
             aggrs=aggrs, num_samples=num_samples, synthetic=synthetic,
             use_old_code_dataset=use_old_code_dataset,
-            partitions=partitions))
+            partitions=partitions, sampled=sampled,
+            device_sampler=device_sampler))
         best_hparams = run_search_parallel(
             spec, candidates, metric_mode=metric.mode,
             metric_name=metric.name, num_workers=search_workers,

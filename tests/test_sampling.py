@@ -209,3 +209,28 @@ def test_sampled_dp_training_learns():
                 first = float(loss)
             last = float(loss)
     assert last < first * 0.7, (first, last)
+
+
+def test_sampled_mag_config_device_sampler_end_to_end():
+    """SampledMagConfig(device_sampler=True): the in-step device sampler
+    is a product path — same experiment surface, learning gate, and
+    deterministic full-graph eval as the host-sampler config."""
+    from egc_tpu.exp.fullgraph import SampledMagConfig
+    from egc_tpu.exp.runner import run_trial
+
+    cfg = SampledMagConfig("egc", hidden=32, heads=4, bases=2,
+                           aggrs=("symnorm",), fanouts=(6, 4),
+                           batch_size=64, device_sampler=True)
+    cfg.load_full_graph = lambda: synthetic.synthetic_full_graph(
+        num_nodes=500, avg_degree=8, num_classes=6, num_features=128,
+        seed=3)
+    from egc_tpu.models.nets import MagNet
+    cfg.model = lambda hp: MagNet(hidden_dim=32, num_layers=2,
+                                  dropout=0.1, heads=4, bases=2,
+                                  aggrs=("symnorm",), out_rounded=8,
+                                  out_true=6)
+    hp = {"lr": 0.01, "wd": 0.0, "dropout": 0.1}
+    res = run_trial(cfg, hp, seed=0, max_iterations=8, patience=50,
+                    verbose=False)
+    accs = [h["val_acc"] for h in res["history"]]
+    assert max(accs) > 0.35, accs
