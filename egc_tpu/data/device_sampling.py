@@ -30,7 +30,6 @@ CSR arrays are replicated (they are read-only) and gradients psum as in
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence, Tuple
 
 import numpy as np

@@ -432,6 +432,24 @@ class SampledMagConfig(MagConfig):
         # scripts/bench_sampled.py)
         self.device_sampler = device_sampler
 
+    def _eval_data(self, raw):
+        """Deterministic full-graph eval dict (reference metric protocol,
+        mag/configs.py:34) — shared by the host- and device-sampler
+        branches; same wide-geometry rule as full-graph training."""
+        self._avg_log_deg = 1.0
+        wide_aggrs = None
+        if self.model_kind == "egc":
+            # heads/bases are EGC-only knobs; for other model kinds the
+            # non-wide kernels consume the plan and 8192-row wide blocks
+            # do not fit their VMEM double-buffering (see base class)
+            bl = self.bases * (self.hidden // self.heads)
+            if bl > 128:
+                wide_aggrs = self.aggrs or ("symnorm",)
+        return {"num_classes": raw["num_classes"],
+                "x_full": jnp.asarray(raw["x"]),
+                "full": full_graph_to_device_dict(raw,
+                                                  wide_aggrs=wide_aggrs)}
+
     def data(self, hparams):
         from egc_tpu.data.sampling import NeighborSampler, SampledNodeLoader
 
@@ -442,20 +460,13 @@ class SampledMagConfig(MagConfig):
 
             dsampler = DeviceNeighborSampler(
                 raw["senders"], raw["receivers"], n, fanouts=self.fanouts)
-            self._avg_log_deg = 1.0
-            wide_aggrs = None
-            if self.model_kind == "egc":
-                bl = self.bases * (self.hidden // self.heads)
-                if bl > 128:
-                    wide_aggrs = self.aggrs or ("symnorm",)
-            full = full_graph_to_device_dict(raw, wide_aggrs=wide_aggrs)
-            return {"dsampler": dsampler,
-                    "seed_ids": {s: np.asarray(raw[f"{s}_idx"])
-                                 for s in ("train", "val", "test")},
-                    "num_classes": raw["num_classes"],
-                    "x_full": jnp.asarray(raw["x"]),
-                    "y_full": jnp.asarray(raw["y"]),
-                    "full": full}
+            out = self._eval_data(raw)
+            out.update(
+                dsampler=dsampler,
+                seed_ids={s: np.asarray(raw[f"{s}_idx"])
+                          for s in ("train", "val", "test")},
+                y_full=jnp.asarray(raw["y"]))
+            return out
         sampler = NeighborSampler(raw["senders"], raw["receivers"], n,
                                   fanouts=self.fanouts)
         # Feature rows are gathered ON DEVICE from the HBM-resident full
@@ -476,21 +487,9 @@ class SampledMagConfig(MagConfig):
                 rng_seed=zlib.crc32(split.encode()) % (2 ** 31),
                 prefetch=4 if on_tpu else 0,
                 gather_on_device=True)
-        self._avg_log_deg = 1.0
-        # deterministic full-graph eval data (reference metric protocol);
-        # same wide-geometry rule as the full-graph training path
-        wide_aggrs = None
-        if self.model_kind == "egc":
-            # heads/bases are EGC-only knobs; for other model kinds the
-            # non-wide kernels consume the plan and 8192-row wide blocks
-            # do not fit their VMEM double-buffering (see base class)
-            bl = self.bases * (self.hidden // self.heads)
-            if bl > 128:
-                wide_aggrs = self.aggrs or ("symnorm",)
-        full = full_graph_to_device_dict(raw, wide_aggrs=wide_aggrs)
-        return {"loaders": loaders, "num_classes": raw["num_classes"],
-                "x_full": jnp.asarray(raw["x"]),
-                "full": full}
+        out = self._eval_data(raw)
+        out["loaders"] = loaders
+        return out
 
     def _sampled_steps(self, model):
         cache = getattr(self, "_sampled_cache", None)
@@ -523,7 +522,12 @@ class SampledMagConfig(MagConfig):
         cache = getattr(self, "_dev_sampled_cache", None)
         if cache is None:
             cache = self._dev_sampled_cache = {}
-        key = (model, id(dsampler))
+        # key by VALUES, not sampler identity: run_trial rebuilds the
+        # sampler per trial, and the step closure depends only on these
+        # (CSR arrays are step ARGUMENTS) — identity keying would
+        # recompile the identical step every final-repeat trial
+        key = (model, dsampler.num_nodes, dsampler.fanouts,
+               self.batch_size)
         if key not in cache:
             from egc_tpu.data import device_sampling as dsmod
 

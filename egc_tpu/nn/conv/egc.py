@@ -131,19 +131,23 @@ class EGConv(nn.Module):
             use_fused_mix and os.environ.get("EGC_TPU_BF16_DENSE") == "1"
         ) else x.dtype
         xm = x.astype(mm_dtype)
+        def mm(a, b):
+            # preferred_element_type keeps f32 ACCUMULATE/OUTPUT from
+            # bf16 inputs (a plain @ would round the result to bf16)
+            return jnp.matmul(a, b.astype(mm_dtype),
+                              preferred_element_type=jnp.float32)
+
         if fan_in >= 192:
             # one pass over x wins when re-streaming the [n, in]
             # activation dominates (mag h352 layer 1: 36 -> 23 ms);
             # at in=128 the split/concat overhead outweighs it (arxiv
             # h128 measured ~1% slower fused)
-            fused = (xm @ jnp.concatenate([wb.astype(mm_dtype),
-                                           wc.astype(mm_dtype)], axis=1)
-                     ).astype(jnp.float32)
+            fused = mm(xm, jnp.concatenate([wb, wc], axis=1))
             bases = fused[:, :bl_pad]
             w = fused[:, bl_pad:] + bc
         else:
-            bases = (xm @ wb.astype(mm_dtype)).astype(jnp.float32)
-            w = (xm @ wc.astype(mm_dtype)).astype(jnp.float32) + bc
+            bases = mm(xm, wb)
+            w = mm(xm, wc) + bc
         if self.weighting == "softmax":
             # softmax across ALL bases*aggregators per head
             # (reference experiments/layers.py:112-120).

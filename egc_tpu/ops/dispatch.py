@@ -283,16 +283,17 @@ def build_kernel_plan_jax(
 ) -> GraphKernelPlan:
     """Jit-traceable kernel-plan builder for DYNAMIC graphs (one plan per
     sampled batch, built on device inside the train step — no host plan
-    build, no plan transfer). Preconditions (the device-sampler output
-    contract): ``n_pad`` aligned to every geometry in use; padded/masked
-    edges already point sender AND receiver at the padding row
-    ``n_pad - 1``; AND the padding row's FEATURES must be zero — the
-    duplicate pad->pad self-loops are real edges to the fused sweeps, so
-    a nonzero pad row would grow geometrically through sum-family
-    aggregators layer over layer (the same hazard build_kernel_plan's
-    ``has_padding_row`` note documents; with zero features every pad
-    contribution is exactly 0). One argsort + searchsorted per layout
-    (~ms at 100k-edge budgets)."""
+    build, no plan transfer). Preconditions: ``n_pad`` aligned to every
+    geometry in use AND STRICTLY GREATER than the model's node-row count
+    (reserve one aligned block, the host ``build_kernel_plan``
+    convention), with padded/masked edges redirected to ``n_pad - 1``.
+    Because the pad row lies beyond the model rows, ``conv_aggregate``
+    zero-pads values up to ``n_pad`` and slices outputs back EVERY layer
+    — so the duplicate pad->pad self-loops aggregate zeros regardless of
+    depth (an in-range pad row would instead compound bias/BN values by
+    the pad-edge count per layer through sum-family aggregators — the
+    hazard the host builder's ``has_padding_row`` note documents). One
+    argsort + searchsorted per layout (~ms at 100k-edge budgets)."""
     align = max(fwd_block_rows, fwd_window_rows, bwd_block_rows,
                 bwd_window_rows, bwd_narrow_window_rows or 0)
     if n_pad % align:

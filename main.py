@@ -67,6 +67,9 @@ def build_config(dataset, model, *, hidden, heads, bases, aggrs,
         raise click.UsageError(
             f"{model!r} not supported for {dataset!r} "
             f"(supported: {sorted(SUPPORTED[dataset])})")
+    if (sampled or device_sampler) and dataset != "mag":
+        raise click.UsageError(
+            "--sampled/--device-sampler apply to the mag dataset only")
     if hidden is None:
         raise click.UsageError("--hidden is required")
     kw = _conv_kwargs(model, heads, bases, aggrs)

@@ -125,19 +125,26 @@ def main():
             gids, s, r, em, nm, _ = sample_raw(key, seeds_b, rowptr,
                                                in_senders)
             gidc = jnp.minimum(gids, n - 1)
-            # pad-row features must be ZERO (build_kernel_plan_jax
-            # contract: pad->pad duplicate loops are real edges to the
-            # fused sweeps); where() fuses into the gather
+            # pad-row features zeroed (masked rows must not leak the
+            # clamped gather); where() fuses into the gather
             nodes = jnp.where(nm[:, None], jnp.take(x_full, gidc, axis=0),
                               0.0)
             g = ds.as_graph(gids, s, r, em, nm).replace(nodes=nodes)
             if device_plans:
                 # per-batch kernel plan built ON DEVICE inside the step:
                 # the fused sweeps replace the XLA scatter path (narrow
-                # layout skipped — 3-primitive sets ride plan.bwd)
+                # layout skipped — 3-primitive sets ride plan.bwd).
+                # Plan pad row sits one aligned block BEYOND the model
+                # rows (build_kernel_plan_jax contract) so every layer's
+                # pad aggregation sees zero-padded values.
                 from egc_tpu.ops.dispatch import build_kernel_plan_jax
-                g = g.replace(kernel_plan=build_kernel_plan_jax(
-                    s, r, nm.shape[0], bwd_narrow_window_rows=None))
+                npp = nm.shape[0] + 4096
+                s_p = jnp.where(em, s, npp - 1)
+                r_p = jnp.where(em, r, npp - 1)
+                g = g.replace(senders=s_p, receivers=r_p,
+                              kernel_plan=build_kernel_plan_jax(
+                                  s_p, r_p, npp,
+                                  bwd_narrow_window_rows=None))
             y = jnp.take(y_full, gidc)
             m = (jnp.arange(nm.shape[0]) < 1024) & nm
 

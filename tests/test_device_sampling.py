@@ -178,29 +178,31 @@ def test_device_plan_matches_host_plan(rng, monkeypatch):
     monkeypatch.setattr(gr.pl, "pallas_call", patched)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
 
-    n_pad, e = 512, 900          # aligned to the small test geometry
+    n, e = 512, 900              # model rows (aligned)
+    n_pad = n + 256              # + one aligned block: the plan pad row
+    # sits BEYOND the model rows (build_kernel_plan_jax contract), so
+    # conv_aggregate zero-pads values each layer and the pad->pad loops
+    # aggregate zeros
     geom = dict(fwd_block_rows=128, fwd_window_rows=256,
                 bwd_block_rows=256, bwd_window_rows=128,
                 bwd_narrow_window_rows=None)
-    s = rng.integers(0, n_pad - 1, e).astype(np.int32)
-    r = rng.integers(0, n_pad - 1, e).astype(np.int32)
+    s = rng.integers(0, n - 1, e).astype(np.int32)
+    r = rng.integers(0, n - 1, e).astype(np.int32)
     pair = np.unique(np.stack([s, r], 1), axis=0)
     s, r = pair[:, 0].copy(), pair[:, 1].copy()
     em = rng.random(len(s)) < 0.9
-    # device-sampler convention: masked edges point at the padding row
     s_red = np.where(em, s, n_pad - 1).astype(np.int32)
     r_red = np.where(em, r, n_pad - 1).astype(np.int32)
-    x = rng.normal(size=(n_pad, 16)).astype(np.float32)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
     aggrs = ("symnorm", "max", "mean")
-    ew, sw = symnorm_weight(jnp.asarray(s), jnp.asarray(r), n_pad,
+    ew, sw = symnorm_weight(jnp.asarray(s), jnp.asarray(r), n,
                             edge_mask=jnp.asarray(em))
 
-    # host plan reserves its own extra pad block (n_pad 768) and
-    # redirects masked edges there; the device plan redirects to row
-    # n_pad-1 — valid-row outputs must agree regardless
-    host_plan = build_kernel_plan(s, r, n_pad, edge_mask=em,
-                                  keep_masked_edges=True,
-                                  has_padding_row=True, attention=False,
+    # host plan reserves its own pad block beyond the n model rows and
+    # redirects masked edges there — the same convention the device plan
+    # now follows; model-row outputs must agree
+    host_plan = build_kernel_plan(s, r, n, edge_mask=em,
+                                  keep_masked_edges=True, attention=False,
                                   **geom)
 
     def run(plan):
@@ -209,7 +211,7 @@ def test_device_plan_matches_host_plan(rng, monkeypatch):
         def f(v):
             out = conv_aggregate(g, v, aggrs, symnorm_edge_w=ew,
                                  symnorm_self_w=sw)
-            return jnp.sum(out[: n_pad - 1] ** 2), out
+            return jnp.sum(out[:n] ** 2), out
 
         (loss, out), grad = jax.value_and_grad(f, has_aux=True)(
             jnp.asarray(x))
@@ -223,8 +225,7 @@ def test_device_plan_matches_host_plan(rng, monkeypatch):
 
     l_d, o_d, g_d = run(dev_plan(jnp.asarray(s_red), jnp.asarray(r_red)))
     np.testing.assert_allclose(float(l_d), float(l_h), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(o_d)[: n_pad - 1],
-                               np.asarray(o_h)[: n_pad - 1],
+    np.testing.assert_allclose(np.asarray(o_d)[:n], np.asarray(o_h)[:n],
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(g_d), np.asarray(g_h),
                                rtol=1e-4, atol=1e-5)
@@ -234,6 +235,6 @@ def test_device_plan_matches_host_plan(rng, monkeypatch):
     truth = multi_aggregate(jnp.asarray(x), jnp.asarray(s), jnp.asarray(r),
                             aggrs, edge_mask=jnp.asarray(em),
                             symnorm_edge_w=ew, symnorm_self_w=sw)
-    np.testing.assert_allclose(np.asarray(o_d)[: n_pad - 1],
-                               np.asarray(truth)[: n_pad - 1],
+    np.testing.assert_allclose(np.asarray(o_d)[:n],
+                               np.asarray(truth)[:n],
                                rtol=1e-4, atol=1e-5)
