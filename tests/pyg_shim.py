@@ -303,7 +303,7 @@ class MessagePassing(torch.nn.Module):
 
 
 # ---------------------------------------------------------------------------
-# graph-level pooling + conv stubs (for net-level module imports)
+# graph-level pooling (for net-level module imports)
 # ---------------------------------------------------------------------------
 
 def global_add_pool(x, batch, size=None):
@@ -348,14 +348,250 @@ class AtomEncoder(torch.nn.Module):
         return out
 
 
-def _stub_conv(name):
-    """Importable placeholder for PyG convs the reference's net modules
-    import at top level; net classes under test never construct them."""
-    def init(self, *a, **k):
-        raise NotImplementedError(
-            f"{name} is a pyg_shim import stub — only reference-authored "
-            "layers execute under the shim")
-    return type(name, (torch.nn.Module,), {"__init__": init})
+# ---------------------------------------------------------------------------
+# PyG 2.0 conv zoo. The reference pins torch-geometric==2.0 (its
+# Dockerfile:54) and instantiates these six convs in its net modules
+# (arxiv/norm_models.py:5, code/models.py:5-9, mol/pna_style_models.py:7-8,
+# zinc/models.py:8, cifar/models.py:8). Implemented from PyG 2.0's
+# documented public semantics (nothing copied); parameter names follow the
+# PyG 2.0 state_dict layout so exp/weight_port's import rules apply
+# unchanged. These make the reference's GCN/GAT/GATv2/GIN/SAGE/PNA nets
+# executable ground truth, not just the reference-authored EGC/MPNN layers.
+# ---------------------------------------------------------------------------
+
+def softmax(src, index, num_nodes):
+    """torch_geometric.utils.softmax over destination segments (PyG 2.0):
+    segment-max-shifted exp, denominator + 1e-16."""
+    mx = scatter(src, index, 0, None, num_nodes, reduce="max")
+    out = (src - mx.index_select(0, index)).exp()
+    den = scatter(out, index, 0, None, num_nodes, reduce="sum")
+    return out / (den.index_select(0, index) + 1e-16)
+
+
+class GCNConv(torch.nn.Module):
+    """x' = D^-1/2 (A + I) D^-1/2 X W + b (PyG 2.0 GCNConv defaults)."""
+
+    def __init__(self, in_channels, out_channels, improved=False,
+                 cached=False, add_self_loops=True, normalize=True,
+                 bias=True):
+        super().__init__()
+        assert normalize and not cached
+        self.improved, self.add_self_loops = improved, add_self_loops
+        self.lin = torch.nn.Linear(in_channels, out_channels, bias=False)
+        glorot(self.lin.weight)
+        self.bias = torch.nn.Parameter(torch.zeros(out_channels)) \
+            if bias else None
+
+    def forward(self, x, edge_index):
+        n = x.size(0)
+        edge_index, w = gcn_norm(edge_index, None, n, self.improved,
+                                 self.add_self_loops)
+        h = self.lin(x)
+        out = scatter(h.index_select(0, edge_index[0]) * w.unsqueeze(-1),
+                      edge_index[1], 0, None, n, reduce="sum")
+        return out if self.bias is None else out + self.bias
+
+
+class GATConv(torch.nn.Module):
+    """PyG 2.0 GATConv: shared lin_src, per-head additive logits
+    a_src·h_j + a_dst·h_i, LeakyReLU(0.2), softmax at the receiver over
+    incoming edges + self-loop, dropout on alpha, heads concatenated."""
+
+    def __init__(self, in_channels, out_channels, heads=1, concat=True,
+                 negative_slope=0.2, dropout=0.0, add_self_loops=True,
+                 bias=True):
+        super().__init__()
+        self.heads, self.out_channels, self.concat = heads, out_channels, \
+            concat
+        self.negative_slope, self.dropout = negative_slope, dropout
+        self.add_self_loops = add_self_loops
+        self.lin_src = torch.nn.Linear(in_channels, heads * out_channels,
+                                       bias=False)
+        self.att_src = torch.nn.Parameter(
+            torch.empty(1, heads, out_channels))
+        self.att_dst = torch.nn.Parameter(
+            torch.empty(1, heads, out_channels))
+        glorot(self.lin_src.weight)
+        glorot(self.att_src)
+        glorot(self.att_dst)
+        odim = heads * out_channels if concat else out_channels
+        self.bias = torch.nn.Parameter(torch.zeros(odim)) if bias else None
+
+    def forward(self, x, edge_index):
+        n, H, C = x.size(0), self.heads, self.out_channels
+        h = self.lin_src(x).view(n, H, C)
+        a_src = (h * self.att_src).sum(-1)          # [N, H]
+        a_dst = (h * self.att_dst).sum(-1)
+        if self.add_self_loops:
+            edge_index, _ = add_remaining_self_loops(edge_index,
+                                                     num_nodes=n)
+        j, i = edge_index[0], edge_index[1]
+        alpha = a_src.index_select(0, j) + a_dst.index_select(0, i)
+        alpha = torch.nn.functional.leaky_relu(alpha, self.negative_slope)
+        alpha = softmax(alpha, i, n)
+        alpha = torch.nn.functional.dropout(alpha, p=self.dropout,
+                                            training=self.training)
+        out = scatter(h.index_select(0, j) * alpha.unsqueeze(-1), i, 0,
+                      None, n, reduce="sum")
+        out = out.reshape(n, H * C) if self.concat else out.mean(dim=1)
+        return out if self.bias is None else out + self.bias
+
+
+class GATv2Conv(torch.nn.Module):
+    """PyG 2.0 GATv2Conv: separate lin_l (sender) / lin_r (receiver) with
+    biases, logit a·LeakyReLU(h_l[j] + h_r[i]), value h_l[j]."""
+
+    def __init__(self, in_channels, out_channels, heads=1, concat=True,
+                 negative_slope=0.2, dropout=0.0, add_self_loops=True,
+                 bias=True, share_weights=False):
+        super().__init__()
+        self.heads, self.out_channels, self.concat = heads, out_channels, \
+            concat
+        self.negative_slope, self.dropout = negative_slope, dropout
+        self.add_self_loops = add_self_loops
+        self.lin_l = torch.nn.Linear(in_channels, heads * out_channels,
+                                     bias=bias)
+        self.lin_r = self.lin_l if share_weights else torch.nn.Linear(
+            in_channels, heads * out_channels, bias=bias)
+        self.att = torch.nn.Parameter(torch.empty(1, heads, out_channels))
+        glorot(self.lin_l.weight)
+        glorot(self.lin_r.weight)
+        glorot(self.att)
+        odim = heads * out_channels if concat else out_channels
+        self.bias = torch.nn.Parameter(torch.zeros(odim)) if bias else None
+
+    def forward(self, x, edge_index):
+        n, H, C = x.size(0), self.heads, self.out_channels
+        h_l = self.lin_l(x).view(n, H, C)
+        h_r = self.lin_r(x).view(n, H, C)
+        if self.add_self_loops:
+            edge_index, _ = add_remaining_self_loops(edge_index,
+                                                     num_nodes=n)
+        j, i = edge_index[0], edge_index[1]
+        e = torch.nn.functional.leaky_relu(
+            h_l.index_select(0, j) + h_r.index_select(0, i),
+            self.negative_slope)
+        alpha = (e * self.att).sum(-1)              # [E, H]
+        alpha = softmax(alpha, i, n)
+        alpha = torch.nn.functional.dropout(alpha, p=self.dropout,
+                                            training=self.training)
+        out = scatter(h_l.index_select(0, j) * alpha.unsqueeze(-1), i, 0,
+                      None, n, reduce="sum")
+        out = out.reshape(n, H * C) if self.concat else out.mean(dim=1)
+        return out if self.bias is None else out + self.bias
+
+
+class GINConv(torch.nn.Module):
+    """x' = nn((1 + eps) x + sum_j x_j) (PyG 2.0; eps stored as a [1]
+    parameter when train_eps)."""
+
+    def __init__(self, nn, eps=0.0, train_eps=False):
+        super().__init__()
+        self.nn = nn
+        if train_eps:
+            self.eps = torch.nn.Parameter(torch.tensor([float(eps)]))
+        else:
+            self.register_buffer("eps", torch.tensor([float(eps)]))
+
+    def forward(self, x, edge_index):
+        agg = scatter(x.index_select(0, edge_index[0]), edge_index[1], 0,
+                      None, x.size(0), reduce="sum")
+        return self.nn(agg + (1.0 + self.eps) * x)
+
+
+class SAGEConv(torch.nn.Module):
+    """x' = W_l mean_j(x_j) + W_r x (PyG 2.0 defaults: mean aggregation,
+    root weight, bias on the neighbor path only)."""
+
+    def __init__(self, in_channels, out_channels, bias=True):
+        super().__init__()
+        self.lin_l = torch.nn.Linear(in_channels, out_channels, bias=bias)
+        self.lin_r = torch.nn.Linear(in_channels, out_channels, bias=False)
+
+    def forward(self, x, edge_index):
+        agg = scatter(x.index_select(0, edge_index[0]), edge_index[1], 0,
+                      None, x.size(0), reduce="mean")
+        return self.lin_l(agg) + self.lin_r(x)
+
+
+class PNAConv(torch.nn.Module):
+    """PyG 2.0 PNAConv (no edge features): per-tower pre-MLP on
+    [x_i || x_j], aggregator concat, degree scalers from the histogram
+    statistic avg_deg['log'], per-tower post-MLP on [x_i || agg], final
+    Linear. std = sqrt(relu(E[x^2]-E[x]^2) + 1e-5), scaler degree clamped
+    to >= 1."""
+
+    def __init__(self, in_channels, out_channels, aggregators, scalers,
+                 deg, edge_dim=None, towers=1, pre_layers=1, post_layers=1,
+                 divide_input=False):
+        super().__init__()
+        assert edge_dim is None, "shim PNAConv: no edge features"
+        assert in_channels % towers == 0 and out_channels % towers == 0
+        self.aggregators, self.scalers = list(aggregators), list(scalers)
+        self.towers, self.divide_input = towers, divide_input
+        self.F_in = in_channels // towers if divide_input else in_channels
+        self.F_out = out_channels // towers
+
+        deg = torch.as_tensor(deg, dtype=torch.float)
+        total = deg.sum().clamp(min=1)
+        bins = torch.arange(deg.numel(), dtype=torch.float)
+        self.avg_deg_log = float(((bins + 1).log() * deg).sum() / total)
+
+        def seq(din, dmid, n_layers):
+            mods = [torch.nn.Linear(din, dmid)]
+            for _ in range(n_layers - 1):
+                mods += [torch.nn.ReLU(), torch.nn.Linear(dmid, dmid)]
+            return torch.nn.Sequential(*mods)
+
+        self.pre_nns = torch.nn.ModuleList(
+            [seq(2 * self.F_in, self.F_in, pre_layers)
+             for _ in range(towers)])
+        post_in = (len(self.aggregators) * len(self.scalers) + 1) * self.F_in
+        self.post_nns = torch.nn.ModuleList(
+            [seq(post_in, self.F_out, post_layers) for _ in range(towers)])
+        self.lin = torch.nn.Linear(out_channels, out_channels)
+
+    def forward(self, x, edge_index):
+        n, T = x.size(0), self.towers
+        if self.divide_input:
+            xt = x.view(n, T, self.F_in)
+        else:
+            xt = x.view(n, 1, self.F_in).repeat(1, T, 1)
+        j, i = edge_index[0], edge_index[1]
+        h = torch.cat([xt.index_select(0, i), xt.index_select(0, j)],
+                      dim=-1)                      # [E, T, 2 F_in]
+        msg = torch.stack([nn_(h[:, t]) for t, nn_ in
+                           enumerate(self.pre_nns)], dim=1)
+
+        outs = []
+        for a in self.aggregators:
+            if a in ("sum", "mean", "min", "max"):
+                outs.append(scatter(msg, i, 0, None, n, reduce=a))
+            elif a in ("var", "std"):
+                mean = scatter(msg, i, 0, None, n, reduce="mean")
+                msq = scatter(msg * msg, i, 0, None, n, reduce="mean")
+                v = msq - mean * mean
+                outs.append((v.relu() + 1e-5).sqrt() if a == "std" else v)
+            else:
+                raise ValueError(f"unknown PNA aggregator {a!r}")
+        out = torch.cat(outs, dim=-1)
+
+        deg = scatter(torch.ones(j.numel()), i, 0, None, n,
+                      reduce="sum").clamp(min=1).view(n, 1, 1)
+        scaled = []
+        for s in self.scalers:
+            if s == "identity":
+                scaled.append(out)
+            elif s == "amplification":
+                scaled.append(out * ((deg + 1).log() / self.avg_deg_log))
+            elif s == "attenuation":
+                scaled.append(out * (self.avg_deg_log / (deg + 1).log()))
+            else:
+                raise ValueError(f"unknown PNA scaler {s!r}")
+        out = torch.cat([xt] + [torch.cat(scaled, dim=-1)], dim=-1)
+        out = torch.cat([nn_(out[:, t]) for t, nn_ in
+                         enumerate(self.post_nns)], dim=1)
+        return self.lin(out)
 
 
 # ---------------------------------------------------------------------------
@@ -386,9 +622,8 @@ def install():
                  global_add_pool=global_add_pool,
                  global_mean_pool=global_mean_pool,
                  global_max_pool=global_max_pool,
-                 **{n: _stub_conv(n) for n in
-                    ("GCNConv", "GATConv", "GATv2Conv", "GINConv",
-                     "PNAConv", "SAGEConv")})
+                 GCNConv=GCNConv, GATConv=GATConv, GATv2Conv=GATv2Conv,
+                 GINConv=GINConv, PNAConv=PNAConv, SAGEConv=SAGEConv)
     tg.nn.conv = _mod("torch_geometric.nn.conv",
                       MessagePassing=MessagePassing)
     tg.nn.conv.gcn_conv = _mod("torch_geometric.nn.conv.gcn_conv",

@@ -355,80 +355,124 @@ def net_forward_check(ref_out, model, variables, g, n_valid, cot_shape,
         np.testing.assert_allclose(got, want, err_msg="/".join(path), **BWD)
 
 
-def test_zinc_net_exec(rng):
+@pytest.mark.parametrize("kind", ["egc", "gatv2"])
+def test_zinc_net_exec(rng, kind):
     zinc_models = pyg_shim.import_reference_module("experiments.zinc.models")
     g, tb = batched_inputs(rng, feat_kind="zinc")
     hid, aggrs = 24, ("add", "std", "max")
 
     torch.manual_seed(23)
-    tnet = zinc_models.EgcZincNet(
-        hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
-        residual=True, heads=4, bases=4, aggrs=list(aggrs))
+    spec = {}
+    if kind == "egc":
+        tnet = zinc_models.EgcZincNet(
+            hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
+            residual=True, heads=4, bases=4, aggrs=list(aggrs))
+        spec = dict(heads=4, bases=4, aggrs=aggrs)
+        conv_kw = dict(heads=4, bases=4, aggrs=aggrs)
+    else:
+        # Gatv2ZincNet: heads hard-coded to 8 (1 on the last layer) —
+        # reference zinc/models.py:81-89
+        tnet = zinc_models.Gatv2ZincNet(
+            hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
+            residual=True)
+        conv_kw = dict(heads=8)
     tnet.eval()
     out_t = tnet(tb)
 
     from egc_tpu.models.nets import ConvSpec, ZincNet
-    model = ZincNet(conv=ConvSpec(kind="egc", heads=4, bases=4,
-                                  aggrs=aggrs),
+    model = ZincNet(conv=ConvSpec(kind=kind, **conv_kw),
                     hidden_dim=hid, num_layers=2, residual=True)
     variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
-    rules = wp.build_rules("zinc", "egc", variables, heads=4, bases=4,
-                           aggrs=aggrs)
+    rules = wp.build_rules("zinc", kind, variables, **spec)
     variables = apply_import_rules(rules, torch_sd(tnet), variables)
     net_forward_check(out_t, model, variables, g, 3, out_t.shape, rng,
                       rules, tnet)
 
 
-def test_cifar_net_exec(rng):
+@pytest.mark.parametrize("kind", ["egc", "gatv2"])
+def test_cifar_net_exec(rng, kind):
     cifar_models = pyg_shim.import_reference_module(
         "experiments.cifar.models")
     g, tb = batched_inputs(rng, feat_kind="cifar")
     hid, aggrs = 24, ("symadd", "std", "max")
 
     torch.manual_seed(29)
-    tnet = cifar_models.EgcCifarNet(
-        hidden_dim=hid, num_graph_layers=2, dropout=0.0,
-        residual=True, heads=4, bases=4, aggrs=list(aggrs))
+    spec = {}
+    if kind == "egc":
+        tnet = cifar_models.EgcCifarNet(
+            hidden_dim=hid, num_graph_layers=2, dropout=0.0,
+            residual=True, heads=4, bases=4, aggrs=list(aggrs))
+        spec = dict(heads=4, bases=4, aggrs=aggrs)
+        conv_kw = dict(heads=4, bases=4, aggrs=aggrs)
+    else:
+        # Gatv2CifarNet: heads hard-coded to 8 (1 on the last layer) —
+        # reference cifar/models.py:82-90
+        tnet = cifar_models.Gatv2CifarNet(
+            hidden_dim=hid, num_graph_layers=2, dropout=0.0,
+            residual=True)
+        conv_kw = dict(heads=8)
     tnet.eval()
     out_t = tnet(tb)
 
     from egc_tpu.models.nets import ConvSpec, CifarNet
-    model = CifarNet(conv=ConvSpec(kind="egc", heads=4, bases=4,
-                                   aggrs=aggrs),
+    model = CifarNet(conv=ConvSpec(kind=kind, **conv_kw),
                      hidden_dim=hid, num_layers=2, residual=True)
     variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
-    rules = wp.build_rules("cifar", "egc", variables, heads=4, bases=4,
-                           aggrs=aggrs)
+    rules = wp.build_rules("cifar", kind, variables, **spec)
     variables = apply_import_rules(rules, torch_sd(tnet), variables)
     net_forward_check(out_t, model, variables, g, 3, out_t.shape, rng,
                       rules, tnet)
 
 
-@pytest.mark.parametrize("kind", ["egc", "mpnn-max"])
+@pytest.mark.parametrize("kind", ["egc", "mpnn-max", "gcn", "gat", "gatv2",
+                                  "gin", "sage", "pna"])
 def test_arxiv_net_exec(rng, kind):
+    """The reference's six PyG-conv arxiv nets execute under the shim's
+    PyG 2.0 conv zoo (pyg_shim.GCNConv..PNAConv) alongside the
+    reference-authored EGC/MPNN layers — full-net fwd+bwd ground truth
+    for every MODEL_KINDS entry (reference arxiv/norm_models.py:50-190)."""
     norm_models = pyg_shim.import_reference_module(
         "experiments.arxiv.norm_models")
     n, hid = 40, 24
-    s, r = rand_graph(rng, n, 120, with_loops=False)
+    # gcn: plant an existing self-loop (gcn_norm's add_remaining dedup
+    # path); self-loop-adding attention convs + loop-free-precondition
+    # kinds use a loop-free graph (see rand_graph docstring)
+    s, r = rand_graph(rng, n, 120, with_loops=(kind == "gcn"))
     x = rng.normal(size=(n, 128)).astype(np.float32)
 
+    from egc_tpu.models.nets import ConvSpec
     torch.manual_seed(31)
+    spec = {}
+    net_kw = dict(hidden_dim=hid, num_graph_layers=2, dropout=0.0,
+                  residual=True)
     if kind == "egc":
         aggrs = ("symadd", "max", "mean")
         tnet = norm_models.EgcArxivNet(
-            hidden_dim=hid, num_graph_layers=2, dropout=0.0,
-            residual=True, heads=4, bases=4, softmax=False,
-            aggrs=list(aggrs))
+            heads=4, bases=4, softmax=False, aggrs=list(aggrs), **net_kw)
         spec = dict(heads=4, bases=4, aggrs=aggrs)
-        from egc_tpu.models.nets import ConvSpec
         conv = ConvSpec(kind="egc", heads=4, bases=4, aggrs=aggrs)
-    else:
-        tnet = norm_models.MpnnArxivNet(
-            hidden_dim=hid, num_graph_layers=2, dropout=0.0,
-            residual=True, aggr="max")
-        spec = {}
-        from egc_tpu.models.nets import ConvSpec
+    elif kind == "mpnn-max":
+        tnet = norm_models.MpnnArxivNet(aggr="max", **net_kw)
         conv = ConvSpec(kind="mpnn-max")
+    elif kind == "gcn":
+        tnet = norm_models.GcnArxivNet(**net_kw)
+        conv = ConvSpec(kind="gcn")
+    elif kind in ("gat", "gatv2"):
+        tnet = norm_models.GatArxivNet(
+            heads=4, gat_dropout=0.0,
+            gat_version=1 if kind == "gat" else 2, **net_kw)
+        conv = ConvSpec(kind=kind, heads=4)
+    elif kind == "gin":
+        tnet = norm_models.GinArxivNet(**net_kw)
+        conv = ConvSpec(kind="gin")
+    elif kind == "sage":
+        tnet = norm_models.SageArxivNet(**net_kw)
+        conv = ConvSpec(kind="sage")
+    else:                                   # pna
+        from egc_tpu.nn.conv.pna import avg_log_degree
+        hist = np.bincount(np.bincount(r, minlength=n))
+        tnet = norm_models.PnaArxivNet(deg=torch.tensor(hist), **net_kw)
+        conv = ConvSpec(kind="pna", avg_log_deg=avg_log_degree(hist))
     tnet.eval()
     out_t = tnet(torch.tensor(x), torch.tensor(np.stack([s, r])))
 
@@ -499,6 +543,8 @@ def test_code2_augment_edge_exec(ref_code_utils, rng):
 @pytest.mark.parametrize("kind,aggrs", [
     ("egc", ("add", "mean", "max")),     # hiv EGC-M row
     ("mpnn-max", None),
+    ("gcn", None), ("gat", None), ("gatv2", None), ("gin", None),
+    ("sage", None),                      # mol/pna_style_models.py:86-215
 ])
 def test_hiv_net_exec(rng, kind, aggrs):
     mol_models = pyg_shim.import_reference_module(
@@ -527,16 +573,28 @@ def test_hiv_net_exec(rng, kind, aggrs):
     g = jax.tree.map(jnp.asarray, g)
 
     torch.manual_seed(41)
+    spec = {}
+    conv_kw = {}
+    net_kw = dict(hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
+                  residual=True)
     if kind == "egc":
-        tnet = mol_models.EgcHIVNet(
-            hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
-            residual=True, heads=4, bases=4, aggrs=list(aggrs))
+        tnet = mol_models.EgcHIVNet(heads=4, bases=4, aggrs=list(aggrs),
+                                    **net_kw)
         spec = dict(heads=4, bases=4, aggrs=aggrs)
+        conv_kw = dict(aggrs=aggrs, heads=4, bases=4)
+    elif kind == "mpnn-max":
+        tnet = mol_models.MpnnHIVNet(aggr="max", **net_kw)
+    elif kind == "gcn":
+        tnet = mol_models.GcnHIVNet(**net_kw)
+    elif kind in ("gat", "gatv2"):
+        tnet = mol_models.GatHIVNet(
+            heads=4, gat_dropout=0.0,
+            gat_version=1 if kind == "gat" else 2, **net_kw)
+        conv_kw = dict(heads=4)
+    elif kind == "gin":
+        tnet = mol_models.GinHIVNet(**net_kw)
     else:
-        tnet = mol_models.MpnnHIVNet(
-            hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
-            residual=True, aggr="max")
-        spec = {}
+        tnet = mol_models.SageHIVNet(**net_kw)
     tnet.eval()
     tb = pyg_shim.FakeBatch(torch.tensor(np.concatenate(xs)),
                             torch.tensor(np.concatenate(eis, axis=1)),
@@ -544,8 +602,7 @@ def test_hiv_net_exec(rng, kind, aggrs):
     out_t = tnet(tb)
 
     from egc_tpu.models.nets import ConvSpec, HIVNet
-    conv = (ConvSpec(kind="egc", heads=4, bases=4, aggrs=aggrs)
-            if kind == "egc" else ConvSpec(kind=kind))
+    conv = ConvSpec(kind=kind, **conv_kw)
     model = HIVNet(conv=conv, hidden_dim=hid, num_layers=2, residual=True)
     variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
     rules = wp.build_rules("hiv", kind, variables, **spec)
@@ -554,7 +611,8 @@ def test_hiv_net_exec(rng, kind, aggrs):
                       rules, tnet)
 
 
-def test_code_net_exec(rng):
+@pytest.mark.parametrize("kind", ["egc", "gat", "pna"])
+def test_code_net_exec(rng, kind):
     code_models = pyg_shim.import_reference_module("experiments.code.models")
     from egc_tpu.graph.structure import batch_np
 
@@ -578,10 +636,29 @@ def test_code_net_exec(rng):
     g = jax.tree.map(jnp.asarray, g)
 
     torch.manual_seed(37)
-    tnet = code_models.EgcCodeNet(
-        hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
-        residual=True, vocab_size=vocab, heads=4, bases=4,
-        aggrs=list(aggrs))
+    spec = {}
+    conv_kw = {}
+    net_kw = dict(hidden_dim=hid, num_graph_layers=2, in_feat_drop=0.0,
+                  residual=True, vocab_size=vocab)
+    if kind == "egc":
+        tnet = code_models.EgcCodeNet(heads=4, bases=4, aggrs=list(aggrs),
+                                      **net_kw)
+        spec = dict(heads=4, bases=4, aggrs=aggrs)
+        conv_kw = dict(heads=4, bases=4, aggrs=aggrs)
+    elif kind == "gat":
+        # GatCodeNet: tunable heads/dropout/version — code/models.py:137-184
+        tnet = code_models.GatCodeNet(heads=4, gat_dropout=0.0,
+                                      gat_version=1, **net_kw)
+        conv_kw = dict(heads=4)
+    else:
+        # PnaCodeNet: PNAConv towers=4 divide_input — code/models.py:268-306
+        degs = np.concatenate([
+            np.bincount(gd["receivers"], minlength=len(gd["nodes"]))
+            for gd in graphs])
+        hist = np.bincount(degs)
+        tnet = code_models.PnaCodeNet(deg=torch.tensor(hist), **net_kw)
+        from egc_tpu.nn.conv.pna import avg_log_degree
+        conv_kw = dict(avg_log_deg=avg_log_degree(hist))
     tnet.eval()
     tb = pyg_shim.FakeBatch(torch.tensor(np.concatenate(xs)),
                             torch.tensor(np.concatenate(eis, axis=1)),
@@ -590,14 +667,12 @@ def test_code_net_exec(rng):
     out_t = torch.stack(tnet(tb), dim=1)      # [G, seq, vocab+2]
 
     from egc_tpu.models.nets import ConvSpec, CodeNet
-    model = CodeNet(conv=ConvSpec(kind="egc", heads=4, bases=4,
-                                  aggrs=aggrs),
+    model = CodeNet(conv=ConvSpec(kind=kind, **conv_kw),
                     hidden_dim=hid, num_layers=2, residual=True,
                     vocab_size=vocab, num_nodeattributes=10030,
                     max_depth=20)
     variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
-    rules = wp.build_rules("code", "egc", variables, heads=4, bases=4,
-                           aggrs=aggrs)
+    rules = wp.build_rules("code", kind, variables, **spec)
     variables = apply_import_rules(rules, torch_sd(tnet), variables)
     out_j = model.apply(variables, g, train=False)
     np.testing.assert_allclose(np.asarray(out_j)[:3],
