@@ -326,7 +326,8 @@ def batched_inputs(rng, n_graphs=3, feat_kind="zinc", hid=24):
 
 
 def net_forward_check(ref_out, model, variables, g, n_valid, cot_shape,
-                      rng, rules, tnet):
+                      rng, rules, tnet, bwd=None):
+    bwd = BWD if bwd is None else bwd
     cot = rng.normal(size=ref_out.shape).astype(np.float32)
     (ref_out * torch.tensor(cot)).sum().backward()
 
@@ -352,7 +353,7 @@ def net_forward_check(ref_out, model, variables, g, n_valid, cot_shape,
         except (KeyError, wp.PortError):
             continue          # frozen leaves (BN stats) have no grads
         got = np.asarray(wp._get_path(tree, path))
-        np.testing.assert_allclose(got, want, err_msg="/".join(path), **BWD)
+        np.testing.assert_allclose(got, want, err_msg="/".join(path), **bwd)
 
 
 @pytest.mark.parametrize("kind", ["egc", "gatv2"])
@@ -486,6 +487,41 @@ def test_arxiv_net_exec(rng, kind):
     variables = apply_import_rules(rules, torch_sd(tnet), variables)
     net_forward_check(out_t, model, variables, g, n, out_t.shape, rng,
                       rules, tnet)
+
+
+def test_mag_net_exec(rng):
+    """The reference's mag homogeneous EGC net (experiments/mag/models.py:
+    16-70: optimized EGConv stack over a cached SparseTensor adjacency,
+    relu+dropout between layers, no BN, 352->349 truncation, log_softmax)
+    executes under the shim and gates MagNet fwd+bwd."""
+    mag_models = pyg_shim.import_reference_module("experiments.mag.models")
+    n, hid, aggrs = 40, 24, ("symnorm", "max", "mean")
+    s, r = rand_graph(rng, n, 120, with_loops=False)
+    x = rng.normal(size=(n, 128)).astype(np.float32)
+
+    torch.manual_seed(43)
+    tnet = mag_models.EGC(hidden_channels=hid, num_layers=3, dropout=0.0,
+                          num_heads=4, num_bases=4, aggrs=list(aggrs))
+    tnet.eval()
+    adj = pyg_shim.SparseTensor(row=torch.tensor(r), col=torch.tensor(s),
+                                sparse_sizes=(n, n))
+    out_t = tnet(torch.tensor(x), adj)
+
+    from egc_tpu.models.nets import MagNet
+    model = MagNet(hidden_dim=hid, num_layers=3, dropout=0.0, heads=4,
+                   bases=4, aggrs=aggrs)
+    g = Graph.from_coo(jnp.asarray(x), s.astype(np.int32),
+                       r.astype(np.int32))
+    variables = wp._unfreeze(model.init(jax.random.key(0), g, train=False))
+    rules = wp.build_rules("mag", "egc", variables, heads=4, bases=4,
+                           aggrs=aggrs)
+    variables = apply_import_rules(rules, torch_sd(tnet), variables)
+    # 3 conv layers with no BN between (unlike every other family): grad
+    # ranges reach ~4e3, so f32 reassociation leaves ~1e-3 ABSOLUTE noise
+    # that crosses the default atol on near-zero elements; atol=2e-3
+    # (5e-7 of the range) keeps a real layout bug unmistakable
+    net_forward_check(out_t, model, variables, g, n, out_t.shape, rng,
+                      rules, tnet, bwd=dict(rtol=5e-4, atol=2e-3))
 
 
 # ---------------------------------------------------------------------------
