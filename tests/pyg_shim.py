@@ -21,11 +21,16 @@ The shim implements the documented public semantics of:
   semantics: deg from the destination column, D^-1/2 A D^-1/2),
 - ``add_remaining_self_loops`` (drop existing loops, append one loop per
   node at the end, preserving existing loop weights),
-- ``torch_geometric.nn.inits.glorot`` / ``zeros``.
+- ``torch_geometric.nn.inits.glorot`` / ``zeros``,
+- the PyG 2.0 conv zoo the reference's net modules construct: GCNConv,
+  GATConv, GATv2Conv, GINConv, SAGEConv, PNAConv (PyG 2.0 state-dict
+  layouts, so exp/weight_port's import rules apply unchanged).
 
 Everything here is written from the public API contracts; nothing is
-copied from PyG or the reference. Only the ~200 lines below are "trusted
-base" — the 700+ lines of reference layer logic run as-is on top.
+copied from PyG or the reference. Only this file is "trusted base" —
+the reference layer/net logic runs as-is on top, and the convs are
+cross-checked two independent ways (against this framework's layers AND
+inside the reference's own net wiring).
 """
 
 from __future__ import annotations

@@ -107,15 +107,16 @@ def torch_grads(module):
             for k, p in module.named_parameters()}
 
 
-def check_param_grads(rules, tgrads, jgrads):
+def check_param_grads(rules, tgrads, jgrads, bwd=None):
     """Map torch param grads through the SAME (linear) import rules and
     compare against the jax param-grad pytree."""
+    bwd = BWD if bwd is None else bwd
     tree = {"params": jax.tree.map(np.asarray, jgrads)}
     mapped = apply_import_rules(rules, tgrads, tree)
     for path, _ in rules.imports:
         want = np.asarray(wp._get_path(mapped, path))
         got = np.asarray(wp._get_path(tree, path))
-        np.testing.assert_allclose(got, want, err_msg="/".join(path), **BWD)
+        np.testing.assert_allclose(got, want, err_msg="/".join(path), **bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -833,3 +834,90 @@ def test_regconv_exec(ref_rmag, rng):
         np.testing.assert_allclose(np.asarray(gx[t])[:c],
                                    xt[t].grad.numpy(), err_msg=t, **BWD)
     check_param_grads(rules, torch_grads(layer), gp)
+
+
+def test_regc_net_exec(ref_rmag, rng, monkeypatch):
+    """NET-level rmag: the reference's full REGC wiring (rmag/models.py:
+    151-212 — learned embeddings for the featureless node types, REGConv
+    stack with relu+dropout between, final layer ALWAYS RGCNConv) executes
+    under the shim and gates REGCNet fwd + every-param bwd through the
+    same rmag import rules the checkpoint importer uses.
+
+    Two import-time obstacles are patched WITHOUT touching the logic under
+    test: (a) models.py:161 ``super(self).__init__()`` raises TypeError in
+    every Python (SURVEY §7.3 quirk; this framework fixed — did not
+    inherit — the bug, nn/conv/hetero.py): a module-level ``super`` shim
+    maps the 1-arg call to ``super(type(obj), obj)``; (b) NUM_NODES_DICT
+    carries full-mag node counts (~600 MB of embedding tables): shrunk to
+    the fixture's counts. Neither changes the forward/backward semantics
+    being gated."""
+    from egc_tpu.nn.conv.hetero import REGCNet
+
+    hid = 16
+    counts, x_np, edges_t, hg = hetero_fixture(ref_rmag, rng, 128)
+    featless = tuple(sorted(set(counts) - {"paper"}))
+
+    def super_shim(*args):
+        if len(args) == 1 and not isinstance(args[0], type):
+            return super(type(args[0]), args[0])
+        return super(*args)
+
+    monkeypatch.setattr(ref_rmag, "super", super_shim, raising=False)
+    monkeypatch.setattr(ref_rmag, "NUM_NODES_DICT", dict(counts))
+
+    torch.manual_seed(47)
+    tnet = ref_rmag.REGC(hidden_channels=hid, num_layers=3, dropout=0.0,
+                         use_egc=True, egc_heads=4, egc_bases=4)
+    tnet.eval()
+    xt = {"paper": torch.tensor(x_np["paper"], requires_grad=True)}
+    out_t = tnet(xt, edges_t)["paper"]
+    logp_t = torch.log_softmax(out_t, dim=-1)
+    cot = rng.normal(size=tuple(logp_t.shape)).astype(np.float32)
+    (logp_t * torch.tensor(cot)).sum().backward()
+
+    relations = tuple(rel_key(st, rel, dt)
+                      for st, rel, dt in ref_rmag.EDGE_TYPES)
+    model = REGCNet(hidden_dim=hid, num_layers=3, dropout=0.0,
+                    use_egc=True, heads=4, bases=4, num_classes=349,
+                    in_features=128, featureless_types=featless,
+                    target_type="paper")
+    variables = wp._unfreeze(model.init(jax.random.key(0), hg, train=False))
+    rules = wp.build_rules("rmag", "regc", variables, heads=4, bases=4,
+                           relations=relations,
+                           node_types=tuple(sorted(counts)),
+                           featureless_types=featless)
+
+    def pad_embs(sd):
+        # single-device REGCNet sizes its emb params to the PADDED type
+        # counts (hg.num_nodes); pad rows touch only masked edges, so the
+        # torch rows extend with zeros (and carry zero grads — asserted by
+        # check_param_grads seeing the jax pad-row grads equal them)
+        out = dict(sd)
+        for t in featless:
+            k = f"embs.{t}"
+            v = np.asarray(out[k])
+            out[k] = np.pad(v, ((0, hg.num_nodes(t) - v.shape[0]), (0, 0)))
+        return out
+
+    variables = apply_import_rules(rules, pad_embs(torch_sd(tnet)),
+                                   variables)
+    n_paper = counts["paper"]
+
+    def loss(params):
+        out = model.apply({"params": params}, hg, train=False)
+        return jnp.sum(out[:n_paper] * jnp.asarray(cot)), out
+
+    (_, out_j), gp = jax.value_and_grad(loss, has_aux=True)(
+        variables["params"])
+    np.testing.assert_allclose(np.asarray(out_j)[:n_paper],
+                               logp_t.detach().numpy(), **FWD)
+    # final-layer heads for non-paper dst types are computed but unused
+    # (only the paper rows feed the loss): torch reports grad None, jax
+    # computes exact zeros — same statement
+    tg = {k: (p.grad.detach().numpy() if p.grad is not None
+              else np.zeros(tuple(p.shape), np.float32))
+          for k, p in tnet.named_parameters()}
+    # grad ranges reach ~1e2 through the un-BN'd 3-layer stack (same f32
+    # reassociation accounting as test_mag_net_exec): absolute-scaled atol
+    check_param_grads(rules, pad_embs(tg), gp,
+                      bwd=dict(rtol=5e-4, atol=1e-4))
